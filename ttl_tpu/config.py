@@ -1,0 +1,103 @@
+"""Typed configuration for TTL-TPU.
+
+Field names and defaults mirror the reference CLI (reference: ttl.py:366-424)
+so that an invocation of the reference's `ttl.py` maps 1:1 onto `TTLConfig`.
+The reference threads a raw argparse namespace through every layer; here the
+same surface is a frozen dataclass so it can be closed over by jit'd programs
+(static hashable config) without retracing hazards.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TTLConfig:
+    # --- data / datasets (reference: ttl.py:383-389)
+    data: str = "datasets"                # dataset root dir
+    test_sets: str = "A"                  # slash-separated set ids, e.g. "A/V/R/K"
+    dataset_mode: str = "test"            # train/val/test split for CoOp datasets
+    arch: str = "ViT-B/16"
+    resolution: int = 224
+    workers: int = 4
+    batch_size: int = 64                  # total views per test sample (1 clean + bs-1 aug)
+    images_per_class: Optional[int] = None
+
+    # --- optimization (reference: ttl.py:390-395)
+    lr: float = 5e-3
+    print_freq: int = 10
+    gpu: int = 0                          # kept for CLI parity; unused on TPU
+    tpt: bool = True                      # multi-view augmentation pipeline on
+    selection_p: float = 0.1              # confident-view fraction (TPT path)
+    tta_steps: int = 1
+
+    # --- prompt machinery (reference: ttl.py:396-399)
+    n_ctx: int = 4
+    ctx_init: str = "a_photo_of_a"
+    cocoop: bool = False
+    load: Optional[str] = None
+
+    seed: int = 0
+
+    # --- LoRA (reference: ttl.py:402-405)
+    layer_range: Tuple[int, int] = (9, 11)   # inclusive trainable/reset layer range
+    init_method: Optional[str] = "xavier"    # xavier|gaussian|kaiming|pretrained|None
+    lora_encoder: str = "image"              # image|text|prompt
+    rank: int = 16
+    lora_alpha: int = 32                     # fixed 32 in reference (custom_clip.py:585)
+
+    # --- DeYO objective (reference: ttl.py:408-424)
+    deyo_selection: bool = True
+    aug_type: str = "patch"                  # patch|pixel|occ (PLPD counterfactual)
+    occlusion_size: int = 112
+    patch_len: int = 6
+    row_start: int = 56
+    column_start: int = 56
+    deyo_margin: float = 0.5                 # entropy filter threshold (passed UNSCALED,
+    deyo_margin_e0: float = 0.4              # reweight margin Ent_0      see ttl.py:80)
+    plpd_threshold: float = 0.2
+    fishers: int = 0
+    filter_ent: int = 0                      # default OFF: keep-all filter ent<=log(1000)
+    filter_plpd: int = 0                     # default OFF: no counterfactual pass
+    reweight_ent: int = 1                    # default ON: coeff = exp(-(ent - e0))
+    reweight_plpd: int = 0
+
+    # --- TPU-native extensions (no reference equivalent)
+    sample_batch: int = 1                    # test samples adapted concurrently (vmap)
+    mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh, None = all chips
+    param_dtype: str = "bfloat16"            # frozen tower weights
+    compute_dtype: str = "bfloat16"          # activations (entropy math stays fp32)
+    augment_on_device: bool = True           # jit'd view pipeline vs host PIL-equivalent
+    checkpoint_path: Optional[str] = None    # local CLIP weights (HF or OpenAI layout)
+
+    @property
+    def n_views(self) -> int:
+        return self.batch_size
+
+    @property
+    def selection_k(self) -> int:
+        """Static top-k for confident-view selection: int(64 * 0.1) = 6."""
+        return int(self.batch_size * self.selection_p)
+
+    @property
+    def deyo_keep_threshold(self) -> float:
+        """The default keep-filter bound used when filter_ent=0 (deyo.py:107)."""
+        return math.log(1000.0)
+
+    def replace(self, **kw) -> "TTLConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def effective_update_steps(cfg: TTLConfig) -> int:
+    """Number of optimizer steps one test sample receives.
+
+    Faithfulness quirk: the reference constructs a fresh DeYO wrapper *inside*
+    its `for j in range(tta_steps)` loop, and DeYO itself loops `steps=tta_steps`
+    times (ttl.py:78-81, deyo.py:42-46), so the DeYO path performs tta_steps**2
+    updates; the TPT path performs tta_steps.
+    """
+    if cfg.deyo_selection and cfg.lora_encoder != "prompt":
+        return cfg.tta_steps * cfg.tta_steps
+    return cfg.tta_steps

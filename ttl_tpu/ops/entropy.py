@@ -1,0 +1,159 @@
+"""Entropy objectives and confident-view selection.
+
+Pure jittable functions over logits. These pin the semantics of the TTL/TPT
+losses (reference: ttl.py:41-67, deyo.py:85-196) in static-shape JAX form:
+boolean indexing becomes masking, top-k selection becomes a static-k gather.
+All entropy math runs in float32 regardless of the activation dtype, matching
+the reference's `.float()` cast before the loss (ttl.py:102).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+LOG1000 = math.log(1000.0)
+
+
+def softmax_entropy(logits: jax.Array) -> jax.Array:
+    """Per-row Shannon entropy of softmax(logits).
+
+    H(p_i) = -sum_c p_ic log p_ic   (reference: deyo.py:85-90)
+
+    Args:
+        logits: [N, C] (any float dtype; promoted to f32).
+    Returns:
+        [N] entropies in nats.
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+
+
+def avg_entropy(logits: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """Entropy of the averaged predictive distribution H(mean_i p_i).
+
+    Computed in the log domain with logsumexp and clamped at the f32 minimum
+    for stability, exactly as the reference (ttl.py:56-61). With `mask`, the
+    average runs over rows where mask is True (static-shape replacement for
+    the reference's fancy-indexed `outputs[selected_idx]`).
+
+    Args:
+        logits: [N, C].
+        mask: optional [N] boolean; None averages all rows.
+    Returns:
+        scalar entropy in nats.
+    """
+    logits = logits.astype(jnp.float32)
+    logp = logits - jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    if mask is None:
+        avg_logp = jax.scipy.special.logsumexp(logp, axis=0) - jnp.log(
+            jnp.float32(logits.shape[0]))
+    else:
+        mask = mask.astype(jnp.float32)
+        # logsumexp over kept rows only: add log(mask) (-inf for dropped rows)
+        masked_logp = jnp.where(mask[:, None] > 0, logp, -jnp.inf)
+        avg_logp = jax.scipy.special.logsumexp(masked_logp, axis=0) - jnp.log(
+            jnp.sum(mask))
+    min_real = jnp.finfo(avg_logp.dtype).min
+    avg_logp = jnp.clip(avg_logp, min=min_real)
+    return -jnp.sum(avg_logp * jnp.exp(avg_logp), axis=-1)
+
+
+def data_uncertainty(logits: jax.Array) -> jax.Array:
+    """Mean per-view entropy E_i[H(p_i)] (reference: ttl.py:63-67)."""
+    return jnp.mean(softmax_entropy(logits))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def select_confident(logits: jax.Array, k: int):
+    """Indices of the k lowest-entropy views (reference: ttl.py:50-54).
+
+    The reference argsorts ascending and slices the first int(N*p); a
+    static-k `top_k` on negated entropy is the XLA-friendly equivalent.
+
+    Returns:
+        (selected_logits [k, C], idx [k], mask [N] boolean)
+    """
+    ent = softmax_entropy(logits)
+    _, idx = jax.lax.top_k(-ent, k)
+    mask = jnp.zeros(logits.shape[0], dtype=bool).at[idx].set(True)
+    return logits[idx], idx, mask
+
+
+def quartile_selection(logits: jax.Array, quartile: int = 0,
+                       num_chunks: int = 8) -> jax.Array:
+    """Indices of the q-th entropy octile (reference: ttl.py:41-48; unused in
+    the default path but part of the public surface)."""
+    ent = softmax_entropy(logits)
+    order = jnp.argsort(ent)
+    chunk = logits.shape[0] // num_chunks
+    return jax.lax.dynamic_slice_in_dim(order[: num_chunks * chunk],
+                                        quartile * chunk, chunk)
+
+
+def deyo_loss(logits: jax.Array, *,
+              margin_e0: float = 0.4,
+              deyo_margin: float = 0.5,
+              filter_ent: bool = False,
+              selection_p: float = 0.1,
+              reweight_ent: float = 1.0,
+              plpd: jax.Array | None = None,
+              filter_plpd: bool = False,
+              plpd_threshold: float = 0.2,
+              reweight_plpd: float = 0.0):
+    """DeYO-weighted entropy objective - the default TTL loss.
+
+    Reference semantics (deyo.py:92-196 with ttl.py:80's *unscaled* margins):
+      ent_i   = H(softmax(logits_i))
+      keep_i  = ent_i <= log(1000)                       (filter_ent=0 default)
+                or i in top-p by ascending entropy       (filter_ent=1)
+      coeff_i = reweight_ent / exp(stop_grad(ent_i) - margin_e0)
+                [+ reweight_plpd / exp(-plpd_i) when enabled]
+      loss    = mean_{keep}(ent_i * coeff_i)
+
+    With repo defaults every view passes the keep filter (max entropy is
+    log(n_cls) <= log(1000)), so the loss is the coeff-reweighted mean entropy
+    over all views.
+
+    Returns:
+        (loss scalar, aux dict with ent/coeff/keep_mask/n_backward)
+    """
+    n = logits.shape[0]
+    ent = softmax_entropy(logits)
+
+    if filter_ent:
+        # top-p lowest-entropy views (deyo.py:105), same as TPT selection
+        k = max(int(n * selection_p), 1)
+        _, idx = jax.lax.top_k(-ent, k)
+        keep = jnp.zeros(n, dtype=bool).at[idx].set(True)
+    else:
+        keep = ent <= LOG1000  # deyo.py:107
+
+    if plpd is not None and filter_plpd:
+        keep = keep & (plpd > plpd_threshold)  # deyo.py:147
+
+    coeff = jnp.zeros_like(ent)
+    if reweight_ent:
+        coeff = coeff + reweight_ent * jnp.exp(
+            -(jax.lax.stop_gradient(ent) - margin_e0))  # deyo.py:175
+    if reweight_plpd and plpd is not None:
+        coeff = coeff + reweight_plpd * jnp.exp(jax.lax.stop_gradient(plpd))
+    if not reweight_ent and not reweight_plpd:
+        coeff = jnp.ones_like(ent)
+
+    keep_f = keep.astype(jnp.float32)
+    n_backward = jnp.sum(keep_f)
+    # mean over kept views; guard the all-dropped case (loss -> 0, no update)
+    loss = jnp.sum(ent * coeff * keep_f) / jnp.maximum(n_backward, 1.0)
+    loss = jnp.where(n_backward > 0, loss, 0.0)
+    return loss, {"ent": ent, "coeff": coeff, "keep": keep,
+                  "n_backward": n_backward}
+
+
+def tpt_loss(logits: jax.Array, mask: jax.Array) -> jax.Array:
+    """TPT objective: self-entropy of the masked-average distribution
+    (reference: ttl.py:100-103)."""
+    return avg_entropy(logits, mask=mask)
