@@ -1,0 +1,159 @@
+"""Numerical parity of the JAX CLIP towers vs HuggingFace CLIPModel.
+
+The reference's effective TTL forward runs through HF encoders
+(custom_clip.py:62-83,658,676). Here a small random-init HF CLIPModel on
+torch-CPU is the oracle: its state_dict is converted with
+ttl_tpu.models.convert and features/logits must match in f32.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ttl_tpu.models import clip as jclip
+from ttl_tpu.models.convert import from_hf_state_dict, from_openai_state_dict
+from ttl_tpu.models.zoo import TEST_TINY
+from ttl_tpu.tokenizer.bpe import tokenize
+
+VC, TC = TEST_TINY.vision, TEST_TINY.text
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers import CLIPConfig, CLIPModel
+    cfg = CLIPConfig(
+        projection_dim=TEST_TINY.vision.proj_dim,
+        vision_config=dict(
+            hidden_size=VC.hidden, num_hidden_layers=VC.layers,
+            num_attention_heads=VC.heads, intermediate_size=VC.hidden * 4,
+            image_size=VC.image_size, patch_size=VC.patch,
+            projection_dim=VC.proj_dim, hidden_act="quick_gelu"),
+        text_config=dict(
+            hidden_size=TC.hidden, num_hidden_layers=TC.layers,
+            num_attention_heads=TC.heads, intermediate_size=TC.hidden * 4,
+            vocab_size=TC.vocab, max_position_embeddings=TC.ctx,
+            projection_dim=TC.proj_dim, hidden_act="quick_gelu"),
+    )
+    torch.manual_seed(0)
+    model = CLIPModel(cfg).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jparams(hf_model):
+    p = from_hf_state_dict(hf_model.state_dict(), TEST_TINY)
+    return jax.tree.map(jnp.asarray, p)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.RandomState(1)
+    return rng.randn(2, 3, VC.image_size, VC.image_size).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def tokens():
+    return tokenize(["a photo of a cat.", "a photo of a dog.",
+                     "a centered satellite photo of a river."])
+
+
+def test_image_features_match_hf(hf_model, jparams, images):
+    with torch.no_grad():
+        ref = hf_model.get_image_features(torch.from_numpy(images)).numpy()
+    ours = jclip.vision_features(jparams["vision"], jnp.asarray(images), VC,
+                                 compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_text_features_match_hf(hf_model, jparams, tokens):
+    with torch.no_grad():
+        ref = hf_model.get_text_features(
+            torch.from_numpy(np.asarray(tokens, dtype=np.int64))).numpy()
+    ours = jclip.text_features(jparams["text"], jnp.asarray(tokens), TC,
+                               compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_cosine_logits_match_hf(hf_model, jparams, images, tokens):
+    """End-to-end: the product-model logit path (custom_clip.py:651-694)."""
+    with torch.no_grad():
+        img = hf_model.get_image_features(torch.from_numpy(images))
+        txt = hf_model.get_text_features(
+            torch.from_numpy(np.asarray(tokens, dtype=np.int64)))
+        img = img / img.norm(dim=-1, keepdim=True)
+        txt = txt / txt.norm(dim=-1, keepdim=True)
+        ref = (hf_model.logit_scale.exp() * img @ txt.t()).numpy()
+
+    vi = jclip.vision_features(jparams["vision"], jnp.asarray(images), VC,
+                               compute_dtype=jnp.float32)
+    tx = jclip.text_features(jparams["text"], jnp.asarray(tokens), TC,
+                             compute_dtype=jnp.float32)
+    ours = jclip.cosine_logits(vi, tx, jparams["logit_scale"])
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=1e-4)
+
+
+def test_bf16_compute_close_to_f32(jparams, images):
+    """bf16 activations (the TPU default) stay within trained-model feature
+    tolerance of the f32 path."""
+    f32 = jclip.vision_features(jparams["vision"], jnp.asarray(images), VC,
+                                compute_dtype=jnp.float32)
+    bf16 = jclip.vision_features(jparams["vision"], jnp.asarray(images), VC,
+                                 compute_dtype=jnp.bfloat16)
+    cos = float(jnp.sum(jclip.l2_normalize(f32) * jclip.l2_normalize(bf16),
+                        axis=-1).min())
+    assert cos > 0.995
+
+
+def test_openai_layout_roundtrip(jparams):
+    """from_openai_state_dict inverts a synthetic OpenAI-layout export of the
+    same weights (packed qkv, transposed linears, [in,out] projections)."""
+    p = jax.tree.map(np.asarray, jparams)
+    sd = {}
+    v = p["vision"]
+    sd["visual.conv1.weight"] = v["patch_embed"].T.reshape(
+        VC.hidden, 3, VC.patch, VC.patch)
+    sd["visual.class_embedding"] = v["class_embed"]
+    sd["visual.positional_embedding"] = v["pos_embed"]
+    sd["visual.ln_pre.weight"] = v["ln_pre"]["scale"]
+    sd["visual.ln_pre.bias"] = v["ln_pre"]["bias"]
+    sd["visual.ln_post.weight"] = v["ln_post"]["scale"]
+    sd["visual.ln_post.bias"] = v["ln_post"]["bias"]
+    sd["visual.proj"] = v["proj"]
+
+    def export_layers(layers, prefix, n):
+        for i in range(n):
+            li = jax.tree.map(lambda a: a[i], layers)
+            sd[f"{prefix}.{i}.ln_1.weight"] = li["ln1"]["scale"]
+            sd[f"{prefix}.{i}.ln_1.bias"] = li["ln1"]["bias"]
+            sd[f"{prefix}.{i}.ln_2.weight"] = li["ln2"]["scale"]
+            sd[f"{prefix}.{i}.ln_2.bias"] = li["ln2"]["bias"]
+            sd[f"{prefix}.{i}.attn.in_proj_weight"] = np.concatenate(
+                [li["attn"][k]["w"].T for k in ("q", "k", "v")])
+            sd[f"{prefix}.{i}.attn.in_proj_bias"] = np.concatenate(
+                [li["attn"][k]["b"] for k in ("q", "k", "v")])
+            sd[f"{prefix}.{i}.attn.out_proj.weight"] = li["attn"]["o"]["w"].T
+            sd[f"{prefix}.{i}.attn.out_proj.bias"] = li["attn"]["o"]["b"]
+            sd[f"{prefix}.{i}.mlp.c_fc.weight"] = li["mlp"]["fc1"]["w"].T
+            sd[f"{prefix}.{i}.mlp.c_fc.bias"] = li["mlp"]["fc1"]["b"]
+            sd[f"{prefix}.{i}.mlp.c_proj.weight"] = li["mlp"]["fc2"]["w"].T
+            sd[f"{prefix}.{i}.mlp.c_proj.bias"] = li["mlp"]["fc2"]["b"]
+
+    export_layers(v["layers"], "visual.transformer.resblocks", VC.layers)
+    t = p["text"]
+    sd["token_embedding.weight"] = t["token_embed"]
+    sd["positional_embedding"] = t["pos_embed"]
+    sd["ln_final.weight"] = t["ln_final"]["scale"]
+    sd["ln_final.bias"] = t["ln_final"]["bias"]
+    sd["text_projection"] = t["proj"]
+    export_layers(t["layers"], "transformer.resblocks", TC.layers)
+    sd["logit_scale"] = p["logit_scale"]
+
+    back = from_openai_state_dict(sd, TEST_TINY)
+    flat_a = jax.tree_util.tree_leaves_with_path(p)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    for k, va in flat_a:
+        np.testing.assert_allclose(va, flat_b[jax.tree_util.keystr(k)],
+                                   err_msg=jax.tree_util.keystr(k))

@@ -1,0 +1,332 @@
+"""CLIP ViT towers as functional JAX pytrees.
+
+TPU-first re-design of the CLIP model stack the reference assembles out of
+HuggingFace `CLIPModel` + OpenAI `clip.model` (reference: clip/model.py,
+clip/custom_clip.py:62-83,570-723):
+
+- Parameters are plain nested-dict pytrees; there is no module state. LoRA
+  is a *separate* adapter pytree applied as a functional overlay
+  (ttl_tpu/ops/lora.py), so the reference's snapshot/copy_ reset machinery
+  (custom_clip.py:139-217) collapses to "re-bind the initial adapter pytree".
+- Transformer layers are *stacked* along a leading axis and executed with
+  `lax.scan`, except the LoRA-adapted window, which is unrolled so autodiff
+  only walks the adapted suffix backward (layers below the window carry no
+  trainable leaves - their LoRA contribution is exactly zero because B=0,
+  see custom_clip.py:176-200, so they are compiled as a pure frozen prefix).
+- Patchify is a reshape+matmul (MXU-native) instead of a conv.
+- All matmuls run in the configured compute dtype (bf16 by default) with f32
+  accumulation; layernorms and the final feature/logit math run in f32.
+
+Weight layout convention: every linear stores `w` as [in, out] so the
+forward is `x @ w + b` (torch checkpoints are transposed on conversion).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TowerConfig:
+    hidden: int
+    layers: int
+    heads: int
+    proj_dim: int
+    mlp_ratio: int = 4
+    ln_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig(TowerConfig):
+    patch: int = 16
+    image_size: int = 224
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig(TowerConfig):
+    vocab: int = 49408
+    ctx: int = 77
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    vision: VisionConfig
+    text: TextConfig
+    compute_dtype: Any = jnp.bfloat16
+
+
+# ---------------------------------------------------------------- primitives
+
+def layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
+    """f32 layernorm regardless of activation dtype (matches the reference's
+    fp16-safe LayerNorm, clip/model.py:157-165)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    y = jnp.matmul(x, p["w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype) \
+        if "b" in p else y.astype(x.dtype)
+
+
+def _attention(q, k, v, heads: int, causal: bool):
+    """[B,S,D] multi-head attention; softmax in f32."""
+    b, s, d = q.shape
+    hd = d // heads
+
+    def split(t):
+        return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * (1.0 / math.sqrt(hd))
+    if causal:
+        mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+        scores = jnp.where(mask, scores, jnp.float32(-1e9))
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+def encoder_layer(p: Params, x: jax.Array, *, heads: int, eps: float,
+                  causal: bool,
+                  lora: Optional[Params] = None,
+                  lora_scale: float = 2.0) -> jax.Array:
+    """Pre-LN transformer block with QuickGELU MLP (clip/model.py:167-222 /
+    HF CLIPEncoderLayer). `lora` optionally injects rank-r updates into the
+    q and v projections: q = x@Wq + (alpha/r) * (x@A_q)@B_q
+    (PEFT layout, custom_clip.py:583-601)."""
+    h = layer_norm(x, p["ln1"], eps)
+    q = linear(h, p["attn"]["q"])
+    k = linear(h, p["attn"]["k"])
+    v = linear(h, p["attn"]["v"])
+    if lora is not None:
+        hf = h.astype(jnp.float32)
+        q = q + (lora_scale * (hf @ lora["q"]["A"]) @ lora["q"]["B"]).astype(q.dtype)
+        v = v + (lora_scale * (hf @ lora["v"]["A"]) @ lora["v"]["B"]).astype(v.dtype)
+    a = _attention(q, k, v, heads, causal)
+    x = x + linear(a, p["attn"]["o"])
+    h = layer_norm(x, p["ln2"], eps)
+    x = x + linear(quick_gelu(linear(h, p["mlp"]["fc1"])), p["mlp"]["fc2"])
+    return x
+
+
+def _slice_layers(stacked: Params, lo: int, hi: int) -> Params:
+    return jax.tree.map(lambda a: a[lo:hi], stacked)
+
+
+def _layer_at(stacked: Params, i: int) -> Params:
+    return jax.tree.map(lambda a: a[i], stacked)
+
+
+def _run_layers(stacked: Params, x: jax.Array, lo: int, hi: int, *,
+                heads: int, eps: float, causal: bool) -> jax.Array:
+    """Frozen layers [lo, hi) as a scan over stacked params."""
+    if hi <= lo:
+        return x
+
+    def body(h, layer_p):
+        return encoder_layer(layer_p, h, heads=heads, eps=eps,
+                             causal=causal), None
+
+    x, _ = jax.lax.scan(body, x, _slice_layers(stacked, lo, hi))
+    return x
+
+
+# -------------------------------------------------------------------- towers
+
+def vision_features(p: Params, images: jax.Array, cfg: VisionConfig, *,
+                    adapters: Optional[Params] = None,
+                    adapter_window: Tuple[int, int] = (9, 11),
+                    lora_scale: float = 2.0,
+                    compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Images [B,3,H,W] (CLIP-normalized) -> projected features [B, proj_dim]
+    (f32, unnormalized). Equivalent of HF `get_image_features`
+    (custom_clip.py:62-71).
+
+    `adapters`, when given, is the LoRA pytree for layers
+    [adapter_window[0], adapter_window[1]] inclusive; those layers are
+    unrolled so backward only walks the adapted suffix.
+    """
+    b = images.shape[0]
+    g, pt = cfg.grid, cfg.patch
+    x = images.astype(compute_dtype)
+    # [B,3,H,W] -> [B, gh, gw, 3*pt*pt] patch vectors, channel-major to match
+    # conv-weight flattening [out, in*kh*kw]
+    x = x.reshape(b, 3, g, pt, g, pt).transpose(0, 2, 4, 1, 3, 5)
+    x = x.reshape(b, g * g, 3 * pt * pt)
+    x = jnp.matmul(x, p["patch_embed"].astype(compute_dtype),
+                   preferred_element_type=jnp.float32).astype(compute_dtype)
+    cls = jnp.broadcast_to(p["class_embed"].astype(compute_dtype),
+                           (b, 1, cfg.hidden))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["pos_embed"].astype(compute_dtype)
+    x = layer_norm(x, p["ln_pre"], cfg.ln_eps)
+
+    lo, hi = adapter_window
+    if adapters is None:
+        x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
+                        eps=cfg.ln_eps, causal=False)
+    else:
+        # frozen prefix (LoRA there is exactly zero: B init is 0 and those
+        # layers are never trained - custom_clip.py:186,596-616)
+        x = jax.lax.stop_gradient(
+            _run_layers(p["layers"], x, 0, lo, heads=cfg.heads,
+                        eps=cfg.ln_eps, causal=False))
+        for i in range(lo, hi + 1):
+            x = encoder_layer(_layer_at(p["layers"], i), x, heads=cfg.heads,
+                              eps=cfg.ln_eps, causal=False,
+                              lora=_layer_at(adapters, i - lo),
+                              lora_scale=lora_scale)
+        x = _run_layers(p["layers"], x, hi + 1, cfg.layers, heads=cfg.heads,
+                        eps=cfg.ln_eps, causal=False)
+
+    pooled = layer_norm(x[:, 0], p["ln_post"], cfg.ln_eps)
+    return jnp.matmul(pooled.astype(jnp.float32), p["proj"].astype(jnp.float32))
+
+
+def text_features(p: Params, tokens: jax.Array, cfg: TextConfig, *,
+                  adapters: Optional[Params] = None,
+                  adapter_window: Tuple[int, int] = (9, 11),
+                  lora_scale: float = 2.0,
+                  compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Token ids [N, ctx] -> projected features [N, proj_dim] (f32,
+    unnormalized). EOT pooling via argmax over ids (the EOT id is the
+    largest in any sequence - clip/model.py:362-375 / HF CLIPTextTransformer).
+    """
+    x = p["token_embed"][tokens].astype(compute_dtype)
+    x = x + p["pos_embed"].astype(compute_dtype)
+
+    lo, hi = adapter_window
+    if adapters is None:
+        x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
+                        eps=cfg.ln_eps, causal=True)
+    else:
+        x = jax.lax.stop_gradient(
+            _run_layers(p["layers"], x, 0, lo, heads=cfg.heads,
+                        eps=cfg.ln_eps, causal=True))
+        for i in range(lo, hi + 1):
+            x = encoder_layer(_layer_at(p["layers"], i), x, heads=cfg.heads,
+                              eps=cfg.ln_eps, causal=True,
+                              lora=_layer_at(adapters, i - lo),
+                              lora_scale=lora_scale)
+        x = _run_layers(p["layers"], x, hi + 1, cfg.layers, heads=cfg.heads,
+                        eps=cfg.ln_eps, causal=True)
+
+    x = layer_norm(x, p["ln_final"], cfg.ln_eps)
+    pooled = x[jnp.arange(x.shape[0]), jnp.argmax(tokens, axis=-1)]
+    return jnp.matmul(pooled.astype(jnp.float32), p["proj"].astype(jnp.float32))
+
+
+def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def cosine_logits(image_feats: jax.Array, text_feats: jax.Array,
+                  logit_scale: jax.Array) -> jax.Array:
+    """logits = exp(logit_scale) * norm(img) @ norm(text).T
+    (custom_clip.py:680-687)."""
+    img = l2_normalize(image_feats.astype(jnp.float32))
+    txt = l2_normalize(text_feats.astype(jnp.float32))
+    return jnp.exp(logit_scale.astype(jnp.float32)) * img @ txt.T
+
+
+# ------------------------------------------------------------ initialization
+
+def _init_linear(key, d_in, d_out, dtype, std=0.02):
+    kw, _ = jax.random.split(key)
+    return {"w": jax.random.normal(kw, (d_in, d_out), dtype) * std,
+            "b": jnp.zeros((d_out,), dtype)}
+
+
+def _init_ln(d, dtype=jnp.float32):
+    return {"scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def _init_layers(key, n, d, mlp_ratio, dtype):
+    keys = jax.random.split(key, 6)
+
+    def stack(f, k):
+        return jax.vmap(f)(jax.random.split(k, n))
+
+    return {
+        "ln1": {"scale": jnp.ones((n, d), jnp.float32),
+                "bias": jnp.zeros((n, d), jnp.float32)},
+        "ln2": {"scale": jnp.ones((n, d), jnp.float32),
+                "bias": jnp.zeros((n, d), jnp.float32)},
+        "attn": {
+            "q": stack(lambda k: _init_linear(k, d, d, dtype), keys[0]),
+            "k": stack(lambda k: _init_linear(k, d, d, dtype), keys[1]),
+            "v": stack(lambda k: _init_linear(k, d, d, dtype), keys[2]),
+            "o": stack(lambda k: _init_linear(k, d, d, dtype), keys[3]),
+        },
+        "mlp": {
+            "fc1": stack(lambda k: _init_linear(k, d, d * mlp_ratio, dtype),
+                         keys[4]),
+            "fc2": stack(lambda k: _init_linear(k, d * mlp_ratio, d, dtype),
+                         keys[5]),
+        },
+    }
+
+
+def init_clip_params(key: jax.Array, cfg: CLIPConfig,
+                     param_dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree (tests / bench; real runs convert a
+    checkpoint via ttl_tpu.models.convert)."""
+    kv, kt, kl = jax.random.split(key, 3)
+    v, t = cfg.vision, cfg.text
+    kvs = jax.random.split(kv, 4)
+    kts = jax.random.split(kt, 3)
+    vision = {
+        "patch_embed": jax.random.normal(
+            kvs[0], (3 * v.patch * v.patch, v.hidden), param_dtype) * 0.02,
+        "class_embed": jax.random.normal(kvs[1], (v.hidden,), param_dtype) * 0.02,
+        "pos_embed": jax.random.normal(
+            kvs[2], (v.seq_len, v.hidden), param_dtype) * 0.02,
+        "ln_pre": _init_ln(v.hidden),
+        "layers": _init_layers(kvs[3], v.layers, v.hidden, v.mlp_ratio,
+                               param_dtype),
+        "ln_post": _init_ln(v.hidden),
+        "proj": jax.random.normal(kl, (v.hidden, v.proj_dim), param_dtype) * 0.02,
+    }
+    text = {
+        "token_embed": jax.random.normal(
+            kts[0], (t.vocab, t.hidden), param_dtype) * 0.02,
+        "pos_embed": jax.random.normal(
+            kts[1], (t.ctx, t.hidden), param_dtype) * 0.01,
+        "layers": _init_layers(kts[2], t.layers, t.hidden, t.mlp_ratio,
+                               param_dtype),
+        "ln_final": _init_ln(t.hidden),
+        "proj": jax.random.normal(
+            jax.random.fold_in(kts[2], 7), (t.hidden, t.proj_dim),
+            param_dtype) * 0.02,
+    }
+    return {"vision": vision, "text": text,
+            "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32)}

@@ -1,0 +1,43 @@
+"""Model registry: CLIP architecture configs by name.
+
+Mirrors the reference's arch surface (`--arch ViT-B/16|RN50`, ttl.py:369,386;
+shape inference in clip/model.py:428-451). The TTL path is ViT-only in the
+reference (HF `openai/clip-vit-base-patch16`, custom_clip.py:581); ViT-B/32
+and ViT-L/14 are included for the same `load()`-by-name capability
+(clip/clip.py:30-39). ResNet CLIP backbones are not yet ported.
+"""
+from __future__ import annotations
+
+from .clip import CLIPConfig, TextConfig, VisionConfig
+
+ARCHS = {
+    "ViT-B/16": CLIPConfig(
+        vision=VisionConfig(hidden=768, layers=12, heads=12, proj_dim=512,
+                            patch=16, image_size=224),
+        text=TextConfig(hidden=512, layers=12, heads=8, proj_dim=512),
+    ),
+    "ViT-B/32": CLIPConfig(
+        vision=VisionConfig(hidden=768, layers=12, heads=12, proj_dim=512,
+                            patch=32, image_size=224),
+        text=TextConfig(hidden=512, layers=12, heads=8, proj_dim=512),
+    ),
+    "ViT-L/14": CLIPConfig(
+        vision=VisionConfig(hidden=1024, layers=24, heads=16, proj_dim=768,
+                            patch=14, image_size=224),
+        text=TextConfig(hidden=768, layers=12, heads=12, proj_dim=768),
+    ),
+}
+
+# tiny config for unit tests / CPU parity runs
+TEST_TINY = CLIPConfig(
+    vision=VisionConfig(hidden=32, layers=4, heads=2, proj_dim=16,
+                        patch=16, image_size=64),
+    text=TextConfig(hidden=32, layers=4, heads=2, proj_dim=16,
+                    vocab=49408, ctx=77),
+)
+
+
+def get_arch(name: str) -> CLIPConfig:
+    if name not in ARCHS:
+        raise KeyError(f"unknown arch {name!r}; available: {sorted(ARCHS)}")
+    return ARCHS[name]
