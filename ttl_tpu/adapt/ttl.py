@@ -1,0 +1,284 @@
+"""The TTL episodic adaptation step, compiled as one XLA program.
+
+Reference control flow (ttl.py:300-363, 70-110; deyo.py:92-196) is a Python
+loop that, per test sample: resets LoRA in-place, reloads optimizer state,
+runs forward/backward over 64 views, steps AdamW, then re-infers the clean
+view. Here the whole thing is a single jit'd `value_and_grad` program:
+
+    fresh (adapter, opt_state) -> scan over update steps -> adapted inference
+
+Episodic semantics come for free: the initial adapter pytree is an *input*,
+so every invocation starts from the same state (ttl.py:338-344) without any
+copy-back machinery. The program is then vmapped over a batch of test
+samples - batched independent AdamW states - which is the throughput win the
+reference's per-sample Python loop cannot express (SURVEY.md section 7.5).
+
+Gradient surface: only the LoRA A/B tensors of the layer_range window are
+differentiated (~0.59M params of ~150M; ttl.py:151-166). The frozen prefix
+of the tower is wrapped in stop_gradient so backward walks 3 layers, not 12.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TTLConfig, effective_update_steps
+from ..models.clip import (CLIPConfig, cosine_logits, l2_normalize,
+                           text_features, text_features_from_embeddings,
+                           vision_features)
+from ..ops.entropy import deyo_loss, select_confident, tpt_loss
+from ..ops.lora import lora_scale
+
+# torch.optim.AdamW defaults (the reference relies on them, ttl.py:218)
+ADAMW_BETAS = (0.9, 0.999)
+ADAMW_EPS = 1e-8
+ADAMW_WEIGHT_DECAY = 1e-2
+
+
+def make_optimizer(cfg: TTLConfig) -> optax.GradientTransformation:
+    return optax.adamw(cfg.lr, b1=ADAMW_BETAS[0], b2=ADAMW_BETAS[1],
+                       eps=ADAMW_EPS, weight_decay=ADAMW_WEIGHT_DECAY)
+
+
+class AdaptResult(NamedTuple):
+    logits: jax.Array        # [C] adapted clean-view logits
+    losses: jax.Array        # [steps] adaptation losses
+    zero_shot_logits: jax.Array  # [C] pre-adaptation clean-view logits (aux)
+    adapters: dict           # final adapter pytree (observability/tests)
+
+
+def _patch_shuffle(views: jax.Array, key: jax.Array, patch_len: int):
+    """PLPD counterfactual: per-view random patch permutation
+    (deyo.py:123-131, aug_type='patch'). [V,3,H,W] -> [V,3,H,W]."""
+    v, c, h, w = views.shape
+    hp = (h // patch_len) * patch_len
+    x = jax.image.resize(views, (v, c, hp, hp), method="bilinear")
+    p = hp // patch_len
+    x = x.reshape(v, c, patch_len, p, patch_len, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(v, patch_len * patch_len, c, p, p)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, patch_len * patch_len))(
+        jax.random.split(key, v))
+    x = jnp.take_along_axis(x, perm[:, :, None, None, None], axis=1)
+    x = x.reshape(v, patch_len, patch_len, c, p, p).transpose(0, 3, 1, 4, 2, 5)
+    x = x.reshape(v, c, hp, hp)
+    return jax.image.resize(x, (v, c, h, w), method="bilinear")
+
+
+def _pixel_shuffle(views: jax.Array, key: jax.Array):
+    """PLPD aug_type='pixel': one shared pixel permutation (deyo.py:132-135)."""
+    v, c, h, w = views.shape
+    perm = jax.random.permutation(key, h * w)
+    return views.reshape(v, c, h * w)[:, :, perm].reshape(v, c, h, w)
+
+
+def _occlude(views: jax.Array, cfg: TTLConfig):
+    """PLPD aug_type='occ': mean-fill a window (deyo.py:118-122)."""
+    mean = jnp.mean(views, axis=(2, 3), keepdims=True)
+    v, c, h, w = views.shape
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    inside = ((rows >= cfg.row_start)
+              & (rows < cfg.row_start + cfg.occlusion_size)
+              & (cols >= cfg.column_start)
+              & (cols < cfg.column_start + cfg.occlusion_size))
+    return jnp.where(inside[None, None], mean, views)
+
+
+def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
+    """Build the per-sample episodic adaptation function (DeYO / TPT-on-LoRA
+    paths; dispatch mirrors test_time_tuning, ttl.py:70-110).
+
+    Returns f(params, text_cls, adapters0, views, key) -> AdaptResult where
+      params:    frozen CLIP pytree
+      text_cls:  [C, D] L2-normalized text classifier (frozen for
+                 lora_encoder='image'; recomputed inside for 'text')
+      adapters0: initial LoRA pytree (the episodic reset state)
+      views:     [V, 3, H, W] CLIP-normalized views, views[0] = clean view
+      key:       PRNG key (only consumed by the PLPD counterfactual)
+    """
+    window = tuple(cfg.layer_range)
+    scale = lora_scale(cfg.rank, cfg.lora_alpha)
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    steps = effective_update_steps(cfg)
+    opt = make_optimizer(cfg)
+    use_deyo = cfg.deyo_selection and cfg.lora_encoder != "prompt"
+    on_image = cfg.lora_encoder == "image"
+
+    def encode_views(params, adapters, views, tokens=None, text_cls=None):
+        """Return [V, C] logits for the current adapter state."""
+        if on_image:
+            vf = vision_features(params["vision"], views, clip_cfg.vision,
+                                 adapters=adapters, adapter_window=window,
+                                 lora_scale=scale, compute_dtype=cd)
+            txt = text_cls
+        else:  # lora_encoder == 'text': image features frozen, text adapted
+            vf = jax.lax.stop_gradient(
+                vision_features(params["vision"], views, clip_cfg.vision,
+                                compute_dtype=cd))
+            txt = l2_normalize(text_features(
+                params["text"], tokens, clip_cfg.text, adapters=adapters,
+                adapter_window=window, lora_scale=scale, compute_dtype=cd))
+        img = l2_normalize(vf)
+        return jnp.exp(params["logit_scale"]) * img @ txt.T
+
+    def deyo_objective(logits, views, adapters, params, text_cls, tokens, key):
+        plpd = None
+        if cfg.filter_plpd or cfg.reweight_plpd:
+            if cfg.aug_type == "patch":
+                x_prime = _patch_shuffle(views, key, cfg.patch_len)
+            elif cfg.aug_type == "pixel":
+                x_prime = _pixel_shuffle(views, key)
+            else:
+                x_prime = _occlude(views, cfg)
+            logits_prime = jax.lax.stop_gradient(
+                encode_views(params, adapters, x_prime,
+                             tokens=tokens, text_cls=text_cls))
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            pp = jax.nn.softmax(logits_prime.astype(jnp.float32), axis=-1)
+            cls1 = jnp.argmax(p, axis=-1)
+            plpd = (jnp.take_along_axis(p, cls1[:, None], 1)
+                    - jnp.take_along_axis(pp, cls1[:, None], 1))[:, 0]
+        loss, aux = deyo_loss(
+            logits,
+            margin_e0=cfg.deyo_margin_e0, deyo_margin=cfg.deyo_margin,
+            filter_ent=bool(cfg.filter_ent), selection_p=cfg.selection_p,
+            reweight_ent=float(cfg.reweight_ent), plpd=plpd,
+            filter_plpd=bool(cfg.filter_plpd),
+            plpd_threshold=cfg.plpd_threshold,
+            reweight_plpd=float(cfg.reweight_plpd))
+        return loss, aux
+
+    k_sel = max(int(cfg.batch_size * cfg.selection_p), 1)
+
+    def adapt_one(params, text_cls, adapters0, views, key,
+                  tokens: Optional[jax.Array] = None) -> AdaptResult:
+        zs_logits = jax.lax.stop_gradient(
+            encode_views(params, None, views[:1], tokens=tokens,
+                         text_cls=text_cls))[0]
+
+        def loss_fn(adapters, sel_mask, skey):
+            logits = encode_views(params, adapters, views,
+                                  tokens=tokens, text_cls=text_cls)
+            if use_deyo:
+                loss, _ = deyo_objective(logits, views, adapters, params,
+                                         text_cls, tokens, skey)
+            else:
+                # TPT objective on LoRA params (deyo_selection=False):
+                # select once at step 0, then reuse indices (ttl.py:97-100)
+                loss = tpt_loss(logits, sel_mask)
+            return loss, logits
+
+        def first_mask(logits):
+            _, _, mask = select_confident(logits, k_sel)
+            return mask
+
+        opt_state = opt.init(adapters0)
+
+        def step(carry, skey):
+            adapters, opt_state, sel_mask, is_first = carry
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(adapters, sel_mask, skey)
+            if not use_deyo:
+                new_mask = jax.lax.stop_gradient(first_mask(logits))
+                sel_mask = jnp.where(is_first, new_mask, sel_mask)
+                # first step's loss was computed with the placeholder mask;
+                # recompute it against the true mask for reporting/grads
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(adapters, sel_mask, skey)
+            updates, opt_state = opt.update(grads, opt_state, adapters)
+            adapters = optax.apply_updates(adapters, updates)
+            return (adapters, opt_state, sel_mask,
+                    jnp.zeros((), bool)), loss
+
+        init_mask = jnp.ones((cfg.batch_size,), bool)
+        (adapters, _, _, _), losses = jax.lax.scan(
+            step, (adapters0, opt_state, init_mask, jnp.ones((), bool)),
+            jax.random.split(key, steps))
+
+        out = jax.lax.stop_gradient(
+            encode_views(params, adapters, views[:1], tokens=tokens,
+                         text_cls=text_cls))[0]
+        return AdaptResult(logits=out, losses=losses,
+                           zero_shot_logits=zs_logits, adapters=adapters)
+
+    return adapt_one
+
+
+def make_batched_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
+                        tokens: Optional[jax.Array] = None):
+    """vmap the episodic program over a batch of test samples and jit it.
+
+    Every sample gets the SAME fresh (adapters0, opt_state) - exactly the
+    reference's reset-to-snapshot semantics (custom_clip.py:202-217) - but
+    adapts independently; S samples' backward passes batch into one program.
+
+    Returns f(params, text_cls, adapters0, views[S,V,3,H,W], keys[S])
+    -> AdaptResult with leading S axis.
+    """
+    adapt_one = make_ttl_adapt_fn(clip_cfg, cfg)
+    if cfg.lora_encoder == "text":
+        fn = lambda p, tc, a0, v, k: adapt_one(p, tc, a0, v, k, tokens=tokens)
+    else:
+        fn = adapt_one
+    batched = jax.vmap(fn, in_axes=(None, None, None, 0, 0))
+    return jax.jit(batched, donate_argnums=(3,))
+
+
+# ------------------------------------------------------------------ TPT mode
+
+def make_tpt_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
+    """TPT: tune the CoOp ctx vectors instead of LoRA (lora_encoder='prompt',
+    custom_clip_old.py path + ttl.py:86-110). View image features are frozen,
+    so they are encoded once and the per-step work is text-tower only.
+
+    Returns f(params, pl_state, views, key) -> (AdaptResult, adapted_ctx).
+    """
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    steps = cfg.tta_steps
+    opt = make_optimizer(cfg)
+    k_sel = max(int(cfg.batch_size * cfg.selection_p), 1)
+
+    def adapt(params, pl_state, views, key):
+        vf = l2_normalize(vision_features(
+            params["vision"], views, clip_cfg.vision, compute_dtype=cd))
+        ls = jnp.exp(params["logit_scale"])
+
+        def logits_for(ctx):
+            embs = pl_state.assemble(ctx)
+            tf = l2_normalize(text_features_from_embeddings(
+                params["text"], embs, pl_state.tokenized, clip_cfg.text,
+                compute_dtype=cd))
+            return ls * vf @ tf.T
+
+        zs = jax.lax.stop_gradient(logits_for(pl_state.ctx_init))[0]
+
+        def loss_fn(ctx, sel_mask):
+            return tpt_loss(logits_for(ctx), sel_mask), None
+
+        ctx0 = pl_state.ctx_init
+        opt_state = opt.init(ctx0)
+
+        def step(carry, _):
+            ctx, opt_state, sel_mask, is_first = carry
+            logits = jax.lax.stop_gradient(logits_for(ctx))
+            _, _, new_mask = select_confident(logits, k_sel)
+            sel_mask = jnp.where(is_first, new_mask, sel_mask)
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ctx, sel_mask)
+            updates, opt_state = opt.update(grads, opt_state, ctx)
+            ctx = optax.apply_updates(ctx, updates)
+            return (ctx, opt_state, sel_mask, jnp.zeros((), bool)), loss
+
+        (ctx, _, _, _), losses = jax.lax.scan(
+            step, (ctx0, opt_state, jnp.ones((cfg.batch_size,), bool),
+                   jnp.ones((), bool)), None, length=steps)
+        out = jax.lax.stop_gradient(logits_for(ctx))[0]
+        return AdaptResult(logits=out, losses=losses, zero_shot_logits=zs,
+                           adapters={}), ctx
+
+    return adapt

@@ -244,6 +244,23 @@ def text_features(p: Params, tokens: jax.Array, cfg: TextConfig, *,
     return jnp.matmul(pooled.astype(jnp.float32), p["proj"].astype(jnp.float32))
 
 
+def text_features_from_embeddings(p: Params, embeddings: jax.Array,
+                                  tokens: jax.Array, cfg: TextConfig, *,
+                                  compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Prompt *embeddings* [N, ctx, hidden] -> projected features [N, proj].
+
+    The TPT/CoOp path assembles prompts in embedding space (tunable ctx
+    spliced between SOS/suffix buffers) and runs them through the text tower
+    (custom_clip_old.py:62-96); `tokens` is still needed for EOT pooling.
+    """
+    x = embeddings.astype(compute_dtype) + p["pos_embed"].astype(compute_dtype)
+    x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
+                    eps=cfg.ln_eps, causal=True)
+    x = layer_norm(x, p["ln_final"], cfg.ln_eps)
+    pooled = x[jnp.arange(x.shape[0]), jnp.argmax(tokens, axis=-1)]
+    return jnp.matmul(pooled.astype(jnp.float32), p["proj"].astype(jnp.float32))
+
+
 def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
     return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
 

@@ -1,0 +1,149 @@
+"""Prompt tables and text-feature classifiers.
+
+Covers the reference's prompt machinery in TPU-native form:
+
+- hand-crafted single-template tables ("a photo of a {cls}.") used by the
+  TTL path (custom_clip.py:300,655-663);
+- the 80-template ImageNet ensemble classifier (custom_clip_old.py:534-630,
+  data/imagnet_prompts.py imagenet_templates);
+- CoOp-style PromptLearner state for the TPT path: SOS prefix / class+EOT
+  suffix embedding buffers around a tunable ctx block
+  (custom_clip.py:221-466).
+
+Design note (SURVEY.md section 5): the reference re-encodes all class prompts
+under no_grad on EVERY forward (custom_clip.py:670-671). When the text tower
+is frozen (lora_encoder='image', the default) that is pure recompute - here
+the table is built once per dataset and reused, which is mathematically
+identical.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tokenizer.bpe import default_tokenizer, tokenize
+from .clip import TextConfig, l2_normalize, text_features
+
+_ASSETS = Path(__file__).resolve().parent.parent / "data" / "assets"
+
+
+def load_imagenet_templates() -> List[str]:
+    return json.loads((_ASSETS / "imagenet_templates.json").read_text())
+
+
+def format_prompts(classnames: Sequence[str],
+                   template: str = "a photo of a {}.") -> List[str]:
+    """Underscores become spaces, exactly as PromptLearner does
+    (custom_clip.py:296-300)."""
+    return [template.format(c.replace("_", " ")) for c in classnames]
+
+
+def prompt_tokens(classnames: Sequence[str],
+                  prompt_prefix: str = "a photo of a") -> np.ndarray:
+    """[C, 77] int32 token table for '<prefix> <classname>.'."""
+    return tokenize([f"{prompt_prefix} {c.replace('_', ' ')}."
+                     for c in classnames])
+
+
+def build_text_classifier(params, tokens: jax.Array, cfg: TextConfig, *,
+                          compute_dtype=jnp.bfloat16,
+                          batch: int = 256) -> jax.Array:
+    """Encode a token table into an L2-normalized [C, proj_dim] classifier.
+
+    Encoding is chunked so a 1000-class table doesn't peak memory; the result
+    matches ClipTestTimeTuning.get_text_features (custom_clip.py:651-663).
+    """
+    feats = []
+    n = tokens.shape[0]
+    enc = jax.jit(lambda p, t: text_features(p, t, cfg,
+                                             compute_dtype=compute_dtype))
+    for i in range(0, n, batch):
+        chunk = tokens[i: i + batch]
+        pad = 0
+        if chunk.shape[0] < batch and n > batch:
+            pad = batch - chunk.shape[0]
+            chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+        f = enc(params, chunk)
+        feats.append(f[: batch - pad] if pad else f)
+    return l2_normalize(jnp.concatenate(feats, axis=0))
+
+
+def build_ensemble_classifier(params, classnames: Sequence[str],
+                              cfg: TextConfig, *,
+                              templates: Sequence[str] | None = None,
+                              compute_dtype=jnp.bfloat16) -> jax.Array:
+    """80-template ensemble: per class, mean of per-template normalized
+    embeddings, re-normalized (custom_clip_old.py:764-778 semantics)."""
+    templates = list(templates or load_imagenet_templates())
+    out = []
+    enc = jax.jit(lambda p, t: text_features(p, t, cfg,
+                                             compute_dtype=compute_dtype))
+    for cls in classnames:
+        toks = jnp.asarray(tokenize(
+            [t.format(cls.replace("_", " ")) for t in templates]))
+        emb = l2_normalize(enc(params, toks))
+        mean = jnp.mean(emb, axis=0)
+        out.append(mean / jnp.linalg.norm(mean))
+    return jnp.stack(out)
+
+
+# ------------------------------------------------------------- PromptLearner
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PromptLearnerState:
+    """Functional CoOp prompt state for the TPT path (custom_clip.py:221-334).
+
+    The tunable context block `ctx` [n_ctx, d] sits between the frozen SOS
+    prefix embedding and the class-name+EOT suffix embeddings. `ctx_init`
+    is kept for episodic reset (prompt_learner.reset(), custom_clip.py:336).
+    """
+    ctx: jax.Array           # [n_ctx, d] - the ONLY trainable tensor
+    ctx_init: jax.Array      # snapshot for reset
+    prefix: jax.Array        # [C, 1, d] SOS embedding
+    suffix: jax.Array        # [C, 77 - 1 - n_ctx, d] class tokens + EOT + pad
+    tokenized: jax.Array     # [C, 77] for EOT-position pooling
+    n_ctx: int = dataclasses.field(metadata={"static": True})
+    prompt_prefix: str = dataclasses.field(metadata={"static": True})
+
+    def assemble(self, ctx: jax.Array | None = None) -> jax.Array:
+        """[C, 77, d] prompt embeddings with the (possibly updated) ctx
+        spliced in ('end' class-token position, custom_clip.py:394-414)."""
+        c = self.ctx if ctx is None else ctx
+        n_cls = self.prefix.shape[0]
+        ctx_block = jnp.broadcast_to(c, (n_cls, *c.shape))
+        return jnp.concatenate([self.prefix, ctx_block, self.suffix], axis=1)
+
+    def reset(self) -> "PromptLearnerState":
+        return dataclasses.replace(self, ctx=self.ctx_init)
+
+
+def init_prompt_learner(token_embed: jax.Array, classnames: Sequence[str],
+                        ctx_init: str = "a_photo_of_a") -> PromptLearnerState:
+    """Build the prompt-learner buffers from the (frozen) token embedding
+    table. ctx vectors are the embeddings of the init phrase
+    (custom_clip.py:243-269)."""
+    tk = default_tokenizer()
+    phrase = ctx_init.replace("_", " ")
+    n_ctx = len(phrase.split(" "))
+    phrase_ids = tk.encode(phrase)
+    assert len(phrase_ids) == n_ctx, "multi-token words unsupported in ctx_init"
+
+    toks = jnp.asarray(prompt_tokens(classnames, phrase))
+    embedding = token_embed[toks]  # [C, 77, d]
+    ctx = token_embed[jnp.asarray(phrase_ids)]
+    return PromptLearnerState(
+        ctx=ctx.astype(jnp.float32),
+        ctx_init=ctx.astype(jnp.float32),
+        prefix=embedding[:, :1],
+        suffix=embedding[:, 1 + n_ctx:],
+        tokenized=toks,
+        n_ctx=n_ctx,
+        prompt_prefix=phrase,
+    )
