@@ -1,0 +1,113 @@
+"""End-to-end smoke: CLI -> runner -> loader -> view pipeline -> TTL step.
+
+Runs the full TTL evaluation on a synthetic in-memory dataset with the tiny
+arch on the CPU mesh, exercising the same code path a real TPU run takes.
+"""
+import numpy as np
+import pytest
+
+from ttl_tpu.cli import build_parser, config_from_args
+from ttl_tpu.config import TTLConfig
+from ttl_tpu.data.views import ArrayDataset, ArrayLoader, SampleLoader
+from ttl_tpu.runner import run
+
+
+def make_synthetic_dataset(n=12, size=96, n_classes=10, seed=0):
+    """Class-colored noise images of varying size (exercises canvas + crop)."""
+    rng = np.random.RandomState(seed)
+    images, labels = [], []
+    for i in range(n):
+        c = i % n_classes
+        h = size + (i % 3) * 17
+        w = size + (i % 4) * 11
+        base = np.zeros((h, w, 3), np.float32)
+        base[..., c % 3] = (c + 1) / n_classes
+        img = np.clip(base + rng.rand(h, w, 3) * 0.3, 0, 1)
+        images.append((img * 255).astype(np.uint8))
+        labels.append(c)
+    return ArraySizedDataset(images, np.asarray(labels))
+
+
+class ArraySizedDataset:
+    def __init__(self, images, labels):
+        self.images = images
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        return self.images[idx], int(self.labels[idx])
+
+
+CFG = TTLConfig(arch="test-tiny", resolution=64, batch_size=8,
+                layer_range=(2, 3), rank=4, test_sets="eurosat",
+                compute_dtype="float32", param_dtype="float32",
+                sample_batch=2, print_freq=1000)
+
+
+def test_full_run_smoke(capsys):
+    ds = make_synthetic_dataset()
+    results = run(CFG, datasets={"eurosat": ds})
+    assert "eurosat" in results
+    top1, top5 = results["eurosat"]
+    assert 0.0 <= top1 <= 100.0 and top1 <= top5 <= 100.0
+    out = capsys.readouterr().out
+    assert "Result Summary" in out
+    assert "Acc@1" in out
+
+
+def test_full_run_deterministic():
+    ds = make_synthetic_dataset()
+    r1 = run(CFG, datasets={"eurosat": ds})
+    r2 = run(CFG, datasets={"eurosat": ds})
+    assert r1["eurosat"] == r2["eurosat"]
+
+
+def test_zero_tta_steps_is_zero_shot():
+    ds = make_synthetic_dataset()
+    r = run(CFG.replace(tta_steps=0), datasets={"eurosat": ds})
+    assert 0.0 <= r["eurosat"][0] <= 100.0
+
+
+def test_array_loader_batching():
+    ds = make_synthetic_dataset(n=7)
+    loader = ArrayLoader(ds, batch_size=3, shuffle=True, seed=0, canvas=160)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[-1].pad == 2
+    seen = np.concatenate([b.indices[: 3 - b.pad] for b in batches])
+    assert sorted(seen.tolist()) == list(range(7))
+    # shuffle is seeded: same order on re-iteration
+    batches2 = list(loader)
+    np.testing.assert_array_equal(batches[0].indices, batches2[0].indices)
+
+
+def test_cli_parses_reference_invocation():
+    """The reference launch command must parse unchanged
+    (scripts/test_ttl.sh surface)."""
+    argv = ["datasets/", "--test_sets", "A/V/R/K", "--arch", "ViT-B/16",
+            "-b", "64", "--lr", "5e-3", "--tta_steps", "1",
+            "--selection_p", "0.1", "--layer_range", "9,11",
+            "--init_method", "xavier", "--lora_encoder", "image",
+            "--rank", "16", "--seed", "0", "--gpu", "0"]
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    assert cfg.test_sets == "A/V/R/K"
+    assert cfg.layer_range == (9, 11)
+    assert cfg.rank == 16 and cfg.lr == 5e-3 and cfg.batch_size == 64
+    assert cfg.lora_encoder == "image" and cfg.init_method == "xavier"
+    assert cfg.deyo_selection is True  # default-on (ttl.py:380)
+
+
+def test_cli_defaults_match_reference():
+    cfg = config_from_args(build_parser().parse_args([]))
+    ref_defaults = dict(batch_size=64, lr=5e-3, tta_steps=1,
+                        selection_p=0.1, layer_range=(9, 11),
+                        init_method="xavier", lora_encoder="image", rank=16,
+                        n_ctx=4, ctx_init="a_photo_of_a", seed=0,
+                        deyo_margin=0.5, deyo_margin_e0=0.4,
+                        filter_ent=0, filter_plpd=0, reweight_ent=1,
+                        reweight_plpd=0, aug_type="patch", patch_len=6)
+    for k, v in ref_defaults.items():
+        assert getattr(cfg, k) == v, k

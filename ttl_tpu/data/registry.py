@@ -1,0 +1,74 @@
+"""Dataset registry and builder.
+
+Same set_id surface as the reference (data/datautils.py:20-73): ImageNet 'I',
+OOD variants 'A'/'K'/'R'/'V', the ten CoOp cross-datasets, and 'bongard'.
+Datasets here are lightweight *sample lists* (path, label) - decoding and
+augmentation live in ttl_tpu.data.views (host decode -> device views), not in
+worker processes.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+from .folder import ImageFolderDataset
+from .json_splits import AircraftDataset, JsonSplitDataset, SPLIT_FILES
+
+ID_TO_DIRNAME = {
+    "I": "ImageNet",
+    "A": "imagenet-adversarial/imagenet-a",
+    "K": "ImageNet-Sketch",
+    "R": "imagenet-rendition/imagenet-r",
+    "V": "imagenetv2/imagenetv2-matched-frequency-format-val",
+    "flower102": "oxford_flowers",
+    "dtd": "dtd",
+    "pets": "oxford_pets/images",
+    "cars": "stanford_cars",
+    "ucf101": "ucf101/UCF-101-midframes",
+    "caltech101": "caltech-101/101_ObjectCategories",
+    "food101": "food-101",
+    "sun397": "sun397/SUN397",
+    "aircraft": "fgvc_aircraft",
+    "eurosat": "eurosat/2750",
+}
+
+FEWSHOT_DATASETS = ["DTD", "flower102", "Food101", "Cars", "SUN397",
+                    "Aircraft", "Pets", "Caltech101", "UCF101", "eurosat"]
+
+# image subdirectory inside each dataset root (fewshot_datasets.py:53-64)
+_IMAGE_SUBDIR = {
+    "flower102": "jpg",
+    "food101": "images",
+    "dtd": "images",
+}
+
+
+def build_dataset(set_id: str, args, n_shot=None):
+    """Resolve a set_id to a (path, label) sample list dataset
+    (datautils.py:38-73). `args` needs .data, .dataset_mode,
+    .images_per_class."""
+    root = args.data
+    if set_id == "I":
+        return ImageFolderDataset(
+            os.path.join(root, ID_TO_DIRNAME["I"], "val"))
+    if set_id in ("A", "K", "R", "V"):
+        return ImageFolderDataset(
+            os.path.join(root, ID_TO_DIRNAME[set_id]),
+            images_per_class=getattr(args, "images_per_class", None))
+    if set_id in FEWSHOT_DATASETS:
+        base = os.path.join(root, ID_TO_DIRNAME[set_id.lower()])
+        if set_id.lower() == "aircraft":
+            return AircraftDataset(base, mode=args.dataset_mode,
+                                   n_shot=n_shot)
+        subdir = _IMAGE_SUBDIR.get(set_id.lower(), "")
+        return JsonSplitDataset(
+            os.path.join(base, subdir) if subdir else base,
+            SPLIT_FILES[set_id.lower()], mode=args.dataset_mode,
+            n_shot=n_shot)
+    raise NotImplementedError(f"unknown set_id {set_id!r}")
+
+
+def dataset_exists(set_id: str, data_root: str) -> bool:
+    sub = ID_TO_DIRNAME.get(set_id if set_id in ID_TO_DIRNAME
+                            else set_id.lower())
+    return sub is not None and os.path.isdir(os.path.join(data_root, sub))

@@ -1,0 +1,146 @@
+"""Host-side sample loading: decode -> static canvas -> device view batch.
+
+The reference's DataLoader workers run the full PIL augmentation stack on the
+host per view (data/datautils.py:129-157). Here the host does the minimum
+non-jittable work - JPEG decode and placement onto a fixed-size uint8 canvas -
+and ships ONE image per test sample; the 64-view expansion happens on device
+(ttl_tpu.ops.image). A background thread prefetches and batches samples so
+decode overlaps TPU compute.
+
+Canvas protocol: images larger than the canvas are downscaled (never
+upscaled) to fit, preserving aspect; (h, w) carry the true extents so the
+device pipeline crops in original-geometry coordinates.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+DEFAULT_CANVAS = 512
+
+
+@dataclass
+class SampleBatch:
+    canvases: np.ndarray   # [B, S, S, 3] uint8
+    heights: np.ndarray    # [B] int32
+    widths: np.ndarray     # [B] int32
+    labels: np.ndarray     # [B] int64
+    indices: np.ndarray    # [B] int64  (dataset positions)
+    pad: int = 0           # trailing entries that are padding (last batch)
+
+
+def load_canvas(path: str, canvas: int = DEFAULT_CANVAS
+                ) -> Tuple[np.ndarray, int, int]:
+    """Decode to RGB uint8, downscale to fit the canvas if needed, zero-pad."""
+    with Image.open(path) as img:
+        img = img.convert("RGB")
+        w, h = img.size
+        if max(w, h) > canvas:
+            s = canvas / max(w, h)
+            w, h = max(1, int(round(w * s))), max(1, int(round(h * s)))
+            img = img.resize((w, h), Image.BICUBIC)
+        arr = np.asarray(img, np.uint8)
+    out = np.zeros((canvas, canvas, 3), np.uint8)
+    out[:h, :w] = arr
+    return out, h, w
+
+
+class SampleLoader:
+    """Iterate a (path,label) dataset as device-ready SampleBatch objects.
+
+    Shuffling matches the reference's DataLoader(shuffle=True) with the run
+    seed (ttl.py:275-278); a single prefetch thread hides decode latency
+    behind device compute. The final short batch is padded and marked so the
+    caller can drop the padded rows from its metrics.
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, *, shuffle: bool = True,
+                 seed: int = 0, canvas: int = DEFAULT_CANVAS,
+                 max_samples: Optional[int] = None, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.canvas = canvas
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        if max_samples is not None:
+            order = order[:max_samples]
+        self.order = order
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return (len(self.order) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self):
+        return len(self.order)
+
+    def _make_batch(self, idxs: Sequence[int]) -> SampleBatch:
+        b = self.batch_size
+        canv = np.zeros((b, self.canvas, self.canvas, 3), np.uint8)
+        hs = np.full((b,), 1, np.int32)
+        ws = np.full((b,), 1, np.int32)
+        labels = np.zeros((b,), np.int64)
+        indices = np.zeros((b,), np.int64)
+        for k, i in enumerate(idxs):
+            item, label = self.dataset[int(i)]
+            if isinstance(item, str):
+                canv[k], hs[k], ws[k] = load_canvas(item, self.canvas)
+            else:  # in-memory [H,W,3] uint8 (tests/bench datasets)
+                h, w = item.shape[:2]
+                if max(h, w) > self.canvas:
+                    img = Image.fromarray(item)
+                    s = self.canvas / max(w, h)
+                    w2, h2 = max(1, round(w * s)), max(1, round(h * s))
+                    item = np.asarray(img.resize((w2, h2), Image.BICUBIC))
+                    h, w = h2, w2
+                canv[k, :h, :w] = item
+                hs[k], ws[k] = h, w
+            labels[k] = label
+            indices[k] = i
+        return SampleBatch(canv, hs, ws, labels, indices,
+                           pad=b - len(idxs))
+
+    def __iter__(self) -> Iterator[SampleBatch]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for s in range(0, len(self.order), self.batch_size):
+                    q.put(self._make_batch(self.order[s: s + self.batch_size]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class ArrayDataset:
+    """In-memory (images, labels) dataset for tests/bench; images are
+    [N, H, W, 3] uint8."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, tmpdir=None):
+        self.images = images
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        return self.images[idx], int(self.labels[idx])
+
+
+# in-memory datasets go through the same loader (array items are detected
+# per-sample in _make_batch)
+ArrayLoader = SampleLoader

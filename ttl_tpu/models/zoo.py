@@ -28,13 +28,17 @@ ARCHS = {
     ),
 }
 
-# tiny config for unit tests / CPU parity runs
+# tiny config for unit tests / CPU parity runs (also registered as an arch
+# so the CLI can smoke-run end-to-end on CPU: --arch test-tiny)
 TEST_TINY = CLIPConfig(
     vision=VisionConfig(hidden=32, layers=4, heads=2, proj_dim=16,
                         patch=16, image_size=64),
     text=TextConfig(hidden=32, layers=4, heads=2, proj_dim=16,
                     vocab=49408, ctx=77),
 )
+
+
+ARCHS["test-tiny"] = TEST_TINY
 
 
 def get_arch(name: str) -> CLIPConfig:

@@ -1,0 +1,162 @@
+"""End-to-end evaluation driver.
+
+TPU-native equivalent of the reference's main_worker + test_time_adapt_eval
+(ttl.py:121-363): per set_id it resolves classnames/masks, builds the text
+classifier once (the reference re-encodes it every forward - SURVEY.md
+section 5), streams test samples through the host loader, expands each into
+the 64-view batch on device, runs the episodic TTL program (vmapped over
+`sample_batch` concurrent samples), and tracks Top-1/Top-5 with the same
+meter output format.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .adapt.ttl import make_batched_ttl_fn, make_tpt_adapt_fn
+from .config import TTLConfig
+from .data.classnames import resolve_classnames
+from .data.registry import build_dataset
+from .data.views import SampleLoader
+from .models import clip as jclip
+from .models.clip import init_clip_params
+from .models.convert import load_checkpoint
+from .models.prompts import (build_text_classifier, init_prompt_learner,
+                             prompt_tokens)
+from .models.zoo import get_arch
+from .ops.image import make_batched_view_fn
+from .ops.lora import init_adapters
+from .utils.meters import AverageMeter, ProgressMeter, Summary, accuracy
+
+
+def load_model(cfg: TTLConfig):
+    """Build (clip_cfg, params). With no local checkpoint this falls back to
+    random init (weights cannot be downloaded in an air-gapped run)."""
+    clip_cfg = get_arch(cfg.arch)
+    pdtype = jnp.bfloat16 if cfg.param_dtype == "bfloat16" else jnp.float32
+    if cfg.checkpoint_path:
+        params, clip_cfg = load_checkpoint(cfg.checkpoint_path, clip_cfg,
+                                           param_dtype=np.float32)
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, pdtype if a.ndim >= 2 else jnp.float32),
+            params)
+    else:
+        print("WARNING: no --checkpoint_path; using random-init CLIP weights "
+              "(accuracy will be chance level)", flush=True)
+        params = init_clip_params(jax.random.PRNGKey(cfg.seed), clip_cfg,
+                                  param_dtype=pdtype)
+    return clip_cfg, params
+
+
+def make_adapters0(cfg: TTLConfig, clip_cfg):
+    n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
+    d = (clip_cfg.vision.hidden if cfg.lora_encoder == "image"
+         else clip_cfg.text.hidden)
+    return init_adapters(jax.random.PRNGKey(cfg.seed), n_window, d,
+                         cfg.rank, cfg.init_method)
+
+
+def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
+                     adapters0, *, dataset=None,
+                     max_samples: Optional[int] = None) -> List[float]:
+    """One dataset: returns [top1, top5] percentages (ttl.py:300-363)."""
+    classnames = resolve_classnames(set_id)
+    toks = jnp.asarray(prompt_tokens(classnames, cfg.ctx_init.replace("_", " ")))
+
+    if dataset is None:
+        dataset = build_dataset(set_id, cfg)
+    loader = SampleLoader(dataset, batch_size=cfg.sample_batch,
+                          shuffle=True, seed=cfg.seed,
+                          max_samples=max_samples)
+
+    view_fn = make_batched_view_fn(
+        cfg.batch_size, cfg.resolution,
+        out_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32)
+
+    use_prompt = cfg.lora_encoder == "prompt"
+    if use_prompt:
+        pl_state = init_prompt_learner(
+            params["text"]["token_embed"].astype(jnp.float32), classnames,
+            cfg.ctx_init)
+        adapt_fn = jax.jit(jax.vmap(make_tpt_adapt_fn(clip_cfg, cfg),
+                                    in_axes=(None, None, 0, 0)))
+        text_cls = None
+    else:
+        text_cls = build_text_classifier(
+            params["text"], toks, clip_cfg.text,
+            compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+            else jnp.float32)
+        adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
+
+    batch_time = AverageMeter("Time", ":6.3f", Summary.NONE)
+    top1 = AverageMeter("Acc@1", ":6.2f", Summary.AVERAGE)
+    top5 = AverageMeter("Acc@5", ":6.2f", Summary.AVERAGE)
+    progress = ProgressMeter(len(loader), [batch_time, top1, top5],
+                             prefix="Test: ")
+
+    root_key = jax.random.PRNGKey(cfg.seed)
+    end = time.time()
+    for i, batch in enumerate(loader):
+        # per-sample keys keyed on dataset position: deterministic views
+        view_keys = jax.vmap(lambda idx: jax.random.fold_in(root_key, idx))(
+            jnp.asarray(batch.indices, jnp.uint32))
+        views = view_fn(jnp.asarray(batch.canvases),
+                        jnp.asarray(batch.heights),
+                        jnp.asarray(batch.widths), view_keys)
+        if cfg.tta_steps > 0:
+            if use_prompt:
+                res, _ = adapt_fn(params, pl_state, views, view_keys)
+            else:
+                res = adapt_fn(params, text_cls, adapters0, views, view_keys)
+            logits = res.logits
+        else:
+            vf = jclip.l2_normalize(jax.jit(jclip.vision_features,
+                                            static_argnames=("cfg",))(
+                params["vision"], views[:, 0], clip_cfg.vision))
+            logits = jnp.exp(params["logit_scale"]) * vf @ text_cls.T
+
+        logits = np.asarray(logits)
+        n = logits.shape[0] - batch.pad
+        acc1, acc5 = accuracy(logits[:n], batch.labels[:n], topk=(1, 5))
+        top1.update(acc1, n)
+        top5.update(acc5, n)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if (i + 1) % cfg.print_freq == 0:
+            progress.display(i)
+    progress.display_summary()
+    return [top1.avg, top5.avg]
+
+
+def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
+        max_samples: Optional[int] = None) -> Dict[str, List[float]]:
+    """Full multi-dataset run with the reference's summary table
+    (ttl.py:228-297). `datasets` optionally maps set_id -> dataset object
+    (used by tests/bench to bypass the filesystem)."""
+    np.random.seed(cfg.seed)
+    clip_cfg, params = load_model(cfg)
+    adapters0 = (None if cfg.lora_encoder == "prompt"
+                 else make_adapters0(cfg, clip_cfg))
+
+    results: Dict[str, List[float]] = {}
+    for set_id in cfg.test_sets.split("/"):
+        print(f"evaluating: {set_id}", flush=True)
+        ds = datasets.get(set_id) if datasets else None
+        results[set_id] = evaluate_dataset(
+            set_id, cfg, clip_cfg, params, adapters0, dataset=ds,
+            max_samples=max_samples)
+        print("=> Acc. on testset [{}]: @1 {:.2f}/ @5 {:.2f}".format(
+            set_id, results[set_id][0], results[set_id][1]), flush=True)
+
+    print("======== Result Summary ========")
+    print("params: nstep\tlr\tbs")
+    print(f"params: {cfg.tta_steps}\t{cfg.lr}\t{cfg.batch_size}")
+    print("\t\t [set_id] \t\t Top-1 acc. \t\t Top-5 acc.")
+    print("\t".join(results.keys()))
+    print("\t".join(f"{v[0]:.2f}" for v in results.values()))
+    return results
