@@ -27,6 +27,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ttl_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
     from ttl_tpu.adapt.ttl import make_batched_ttl_fn
     from ttl_tpu.config import TTLConfig
     from ttl_tpu.models.clip import init_clip_params
@@ -66,17 +69,21 @@ def main():
         views = view_fn(canv, hs, ws, keys)
         return adapt_fn(params, text_cls, adapters0, views, keys)
 
-    # NOTE: fetch logits to host each iteration - on the remote-relay TPU
-    # backend block_until_ready alone does not reliably fence execution
+    # NOTE: logits are fetched to host to fence execution - on the
+    # remote-relay TPU backend block_until_ready alone does not reliably
+    # fence. Throughput is measured pipelined (depth 2, as the runner
+    # executes): fetch of batch i-1 overlaps compute of batch i, so the
+    # per-dispatch round trip amortizes out.
     for i in range(WARMUP):
         np.asarray(step(i).logits)
-    times = []
-    for i in range(ITERS):
-        t0 = time.time()
-        np.asarray(step(WARMUP + i).logits)
-        times.append(time.time() - t0)
-
-    dt = float(np.median(times))
+    t0 = time.time()
+    pending = step(WARMUP)
+    for i in range(1, ITERS):
+        nxt = step(WARMUP + i)
+        np.asarray(pending.logits)
+        pending = nxt
+    np.asarray(pending.logits)
+    dt = (time.time() - t0) / ITERS
     samples_per_sec = S / dt
     print(json.dumps({
         "metric": "adapted samples/sec/chip (64-view TTL step, ViT-B/16)",

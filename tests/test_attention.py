@@ -1,0 +1,54 @@
+"""Fused (Pallas) attention vs einsum reference: forward + VJP parity.
+
+On CPU the kernel runs in interpreter mode - same program, same numerics.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ttl_tpu.ops import attention as fa
+
+
+@pytest.mark.parametrize("shape,causal", [
+    ((2, 3, 197, 64), False),   # ViT-B/16 image sequence
+    ((3, 2, 77, 32), True),     # text sequence, causal
+    ((1, 1, 16, 64), False),    # already tile-aligned
+])
+def test_fused_forward_matches_reference(shape, causal):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+    ref = fa.reference_attention(q, k, v, causal)
+    out = fa.attention(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_vjp_matches_reference():
+    shape = (2, 2, 37, 32)  # odd length exercises padding in the backward
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.sin(fa.attention(q, k, v, False)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(fa.reference_attention(q, k, v, False)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_fused_vjp_causal():
+    shape = (1, 2, 21, 16)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+    g1 = jax.grad(lambda q: jnp.sum(fa.attention(q, k, v, True) ** 2))(q)
+    g2 = jax.grad(lambda q: jnp.sum(
+        fa.reference_attention(q, k, v, True) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-5)

@@ -99,6 +99,8 @@ def config_from_args(args: argparse.Namespace) -> TTLConfig:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    from .utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     from .runner import run
     return run(cfg, max_samples=args.max_samples)
 

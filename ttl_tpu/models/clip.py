@@ -94,7 +94,11 @@ def linear(x: jax.Array, p: Params) -> jax.Array:
 
 
 def _attention(q, k, v, heads: int, causal: bool):
-    """[B,S,D] multi-head attention; softmax in f32."""
+    """[B,S,D] multi-head attention; softmax in f32. Routes through the
+    Pallas fused kernel on TPU (ttl_tpu.ops.attention) and the einsum
+    formulation elsewhere - identical numerics either way."""
+    from ..ops import attention as fa
+
     b, s, d = q.shape
     hd = d // heads
 
@@ -102,16 +106,33 @@ def _attention(q, k, v, heads: int, causal: bool):
         return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = split(q), split(k), split(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores.astype(jnp.float32) * (1.0 / math.sqrt(hd))
-    if causal:
-        mask = jnp.tril(jnp.ones((s, s), dtype=bool))
-        scores = jnp.where(mask, scores, jnp.float32(-1e9))
-    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", w, v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
+    if fa.use_fused():
+        out = fa.attention(q, k, v, causal)
+    else:
+        out = fa.reference_attention(q, k, v, causal)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+def fuse_qkv_params(tower: Params) -> Params:
+    """Rewrite a tower's stacked layers to a single fused qkv projection
+    ([L, D, 3D]) - one MXU matmul instead of three skinny ones. Pure layout
+    transform; encoder_layer detects the fused form. Applied at load time
+    (see runner.load_model)."""
+    layers = dict(tower["layers"])
+    attn = layers["attn"]
+    fused = {
+        "qkv": {
+            "w": jnp.concatenate([attn["q"]["w"], attn["k"]["w"],
+                                  attn["v"]["w"]], axis=-1),
+            "b": jnp.concatenate([attn["q"]["b"], attn["k"]["b"],
+                                  attn["v"]["b"]], axis=-1),
+        },
+        "o": attn["o"],
+    }
+    layers["attn"] = fused
+    out = dict(tower)
+    out["layers"] = layers
+    return out
 
 
 def encoder_layer(p: Params, x: jax.Array, *, heads: int, eps: float,
@@ -123,9 +144,13 @@ def encoder_layer(p: Params, x: jax.Array, *, heads: int, eps: float,
     q and v projections: q = x@Wq + (alpha/r) * (x@A_q)@B_q
     (PEFT layout, custom_clip.py:583-601)."""
     h = layer_norm(x, p["ln1"], eps)
-    q = linear(h, p["attn"]["q"])
-    k = linear(h, p["attn"]["k"])
-    v = linear(h, p["attn"]["v"])
+    if "qkv" in p["attn"]:
+        qkv = linear(h, p["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(h, p["attn"]["q"])
+        k = linear(h, p["attn"]["k"])
+        v = linear(h, p["attn"]["v"])
     if lora is not None:
         hf = h.astype(jnp.float32)
         q = q + (lora_scale * (hf @ lora["q"]["A"]) @ lora["q"]["B"]).astype(q.dtype)
@@ -244,6 +269,21 @@ def text_features(p: Params, tokens: jax.Array, cfg: TextConfig, *,
     return jnp.matmul(pooled.astype(jnp.float32), p["proj"].astype(jnp.float32))
 
 
+def encode_image(p: Params, images: jax.Array, vision_cfg, *,
+                 compute_dtype=jnp.bfloat16, **lora_kw) -> jax.Array:
+    """Backbone dispatcher: ViT (VisionConfig) or ModifiedResNet
+    (ResNetVisionConfig). LoRA kwargs only apply to the ViT path, matching
+    the reference (adapters attach to transformer q/v projections only)."""
+    if isinstance(vision_cfg, VisionConfig):
+        return vision_features(p, images, vision_cfg,
+                               compute_dtype=compute_dtype, **lora_kw)
+    from .resnet import resnet_features
+    if lora_kw.get("adapters") is not None:
+        raise ValueError("LoRA adapters require a ViT backbone "
+                         "(the reference's TTL path is ViT-only)")
+    return resnet_features(p, images, vision_cfg, compute_dtype=compute_dtype)
+
+
 def text_features_from_embeddings(p: Params, embeddings: jax.Array,
                                   tokens: jax.Array, cfg: TextConfig, *,
                                   compute_dtype=jnp.bfloat16) -> jax.Array:
@@ -321,6 +361,12 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig,
     v, t = cfg.vision, cfg.text
     kvs = jax.random.split(kv, 4)
     kts = jax.random.split(kt, 3)
+    if not isinstance(v, VisionConfig):  # ResNet backbone
+        from .resnet import init_resnet_params
+        vision = init_resnet_params(kv, v, param_dtype)
+        return {"vision": vision,
+                "text": _init_text(kts, kl, t, param_dtype),
+                "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32)}
     vision = {
         "patch_embed": jax.random.normal(
             kvs[0], (3 * v.patch * v.patch, v.hidden), param_dtype) * 0.02,
@@ -333,7 +379,13 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig,
         "ln_post": _init_ln(v.hidden),
         "proj": jax.random.normal(kl, (v.hidden, v.proj_dim), param_dtype) * 0.02,
     }
-    text = {
+    return {"vision": vision,
+            "text": _init_text(kts, kl, t, param_dtype),
+            "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32)}
+
+
+def _init_text(kts, kl, t: TextConfig, param_dtype) -> Params:
+    return {
         "token_embed": jax.random.normal(
             kts[0], (t.vocab, t.hidden), param_dtype) * 0.02,
         "pos_embed": jax.random.normal(
@@ -345,5 +397,3 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig,
             jax.random.fold_in(kts[2], 7), (t.hidden, t.proj_dim),
             param_dtype) * 0.02,
     }
-    return {"vision": vision, "text": text,
-            "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32)}

@@ -117,10 +117,31 @@ def _openai_layer(sd, prefix, d, dtype):
     }
 
 
+def _openai_text(sd, t, param_dtype):
+    return {
+        "token_embed": _np(sd["token_embedding.weight"]).astype(param_dtype),
+        "pos_embed": _np(sd["positional_embedding"]).astype(param_dtype),
+        "layers": _stack([_openai_layer(
+            sd, f"transformer.resblocks.{i}", t.hidden, param_dtype)
+            for i in range(t.layers)]),
+        "ln_final": _ln(sd, "ln_final"),
+        "proj": _np(sd["text_projection"]).astype(param_dtype),
+    }
+
+
 def from_openai_state_dict(sd, cfg: CLIPConfig, param_dtype=np.float32):
-    """OpenAI clip .pt state_dict (clip/model.py:428-451 naming) -> pytree."""
+    """OpenAI clip .pt state_dict (clip/model.py:428-451 naming) -> pytree.
+    Handles both ViT ('visual.conv1' = patchify) and ModifiedResNet
+    ('visual.attnpool' present) checkpoints."""
     sd = {k: v for k, v in sd.items()}
     v, t = cfg.vision, cfg.text
+
+    if "visual.attnpool.positional_embedding" in sd:  # RN50 family
+        from .resnet import convert_openai_resnet
+        return {"vision": convert_openai_resnet(sd, v, param_dtype),
+                "text": _openai_text(sd, t, param_dtype),
+                "logit_scale": _np(sd["logit_scale"]).astype(np.float32)}
+
     patch = _np(sd["visual.conv1.weight"]).reshape(v.hidden, -1).T
 
     vision = {
@@ -134,16 +155,7 @@ def from_openai_state_dict(sd, cfg: CLIPConfig, param_dtype=np.float32):
         "ln_post": _ln(sd, "visual.ln_post"),
         "proj": _np(sd["visual.proj"]).astype(param_dtype),  # already [in,out]
     }
-    text = {
-        "token_embed": _np(sd["token_embedding.weight"]).astype(param_dtype),
-        "pos_embed": _np(sd["positional_embedding"]).astype(param_dtype),
-        "layers": _stack([_openai_layer(
-            sd, f"transformer.resblocks.{i}", t.hidden, param_dtype)
-            for i in range(t.layers)]),
-        "ln_final": _ln(sd, "ln_final"),
-        "proj": _np(sd["text_projection"]).astype(param_dtype),
-    }
-    return {"vision": vision, "text": text,
+    return {"vision": vision, "text": _openai_text(sd, t, param_dtype),
             "logit_scale": _np(sd["logit_scale"]).astype(np.float32)}
 
 
@@ -151,6 +163,30 @@ def infer_config_from_openai(sd) -> CLIPConfig:
     """Shape-infer the architecture from an OpenAI state_dict, the same
     derivation as the reference's build_model (clip/model.py:428-443)."""
     from .clip import CLIPConfig, TextConfig, VisionConfig
+
+    if "visual.attnpool.positional_embedding" in sd:  # ModifiedResNet
+        from .resnet import ResNetVisionConfig
+        layers = tuple(
+            len({k.split(".")[2] for k in sd
+                 if k.startswith(f"visual.layer{s + 1}.")}) for s in range(4))
+        width = _np(sd["visual.conv3.weight"]).shape[0]
+        feat_dim = _np(sd["visual.attnpool.positional_embedding"]).shape[1]
+        spatial = int(round((_np(
+            sd["visual.attnpool.positional_embedding"]).shape[0] - 1) ** 0.5))
+        embed_dim = _np(sd["visual.attnpool.c_proj.weight"]).shape[0]
+        vision = ResNetVisionConfig(
+            layers=layers, width=width, heads=feat_dim // 64,
+            proj_dim=embed_dim, image_size=spatial * 32)
+        t_width = _np(sd["ln_final.weight"]).shape[0]
+        t_layers = len({k.split(".")[2] for k in sd
+                        if k.startswith("transformer.resblocks")})
+        return CLIPConfig(
+            vision=vision,
+            text=TextConfig(hidden=t_width, layers=t_layers,
+                            heads=t_width // 64, proj_dim=embed_dim,
+                            vocab=_np(sd["token_embedding.weight"]).shape[0],
+                            ctx=_np(sd["positional_embedding"]).shape[0]))
+
     vision_width = _np(sd["visual.conv1.weight"]).shape[0]
     vision_patch = _np(sd["visual.conv1.weight"]).shape[-1]
     vision_layers = len({k.split(".")[3] for k in sd

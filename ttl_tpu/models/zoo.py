@@ -1,16 +1,26 @@
 """Model registry: CLIP architecture configs by name.
 
 Mirrors the reference's arch surface (`--arch ViT-B/16|RN50`, ttl.py:369,386;
-shape inference in clip/model.py:428-451). The TTL path is ViT-only in the
-reference (HF `openai/clip-vit-base-patch16`, custom_clip.py:581); ViT-B/32
-and ViT-L/14 are included for the same `load()`-by-name capability
-(clip/clip.py:30-39). ResNet CLIP backbones are not yet ported.
+shape inference in clip/model.py:428-451). The TTL LoRA path is ViT-only in
+the reference (HF `openai/clip-vit-base-patch16`, custom_clip.py:581); the
+RN50 family serves the prompt/zero-shot paths, as there.
 """
 from __future__ import annotations
 
 from .clip import CLIPConfig, TextConfig, VisionConfig
+from .resnet import RESNET_ARCHS
 
 ARCHS = {
+    # ResNet CLIP family (clip/model.py:96-155): prompt/zero-shot paths only;
+    # LoRA adaptation targets the ViT q/v projections as in the reference
+    "RN50": CLIPConfig(
+        vision=RESNET_ARCHS["RN50"],
+        text=TextConfig(hidden=512, layers=12, heads=8, proj_dim=1024),
+    ),
+    "RN101": CLIPConfig(
+        vision=RESNET_ARCHS["RN101"],
+        text=TextConfig(hidden=512, layers=12, heads=8, proj_dim=512),
+    ),
     "ViT-B/16": CLIPConfig(
         vision=VisionConfig(hidden=768, layers=12, heads=12, proj_dim=512,
                             patch=16, image_size=224),

@@ -100,8 +100,9 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                              prefix="Test: ")
 
     root_key = jax.random.PRNGKey(cfg.seed)
-    end = time.time()
-    for i, batch in enumerate(loader):
+
+    def dispatch(batch):
+        """Enqueue one device step (async) and return the pending logits."""
         # per-sample keys keyed on dataset position: deterministic views
         view_keys = jax.vmap(lambda idx: jax.random.fold_in(root_key, idx))(
             jnp.asarray(batch.indices, jnp.uint32))
@@ -113,22 +114,37 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                 res, _ = adapt_fn(params, pl_state, views, view_keys)
             else:
                 res = adapt_fn(params, text_cls, adapters0, views, view_keys)
-            logits = res.logits
-        else:
-            vf = jclip.l2_normalize(jax.jit(jclip.vision_features,
-                                            static_argnames=("cfg",))(
-                params["vision"], views[:, 0], clip_cfg.vision))
-            logits = jnp.exp(params["logit_scale"]) * vf @ text_cls.T
+            return res.logits
+        vf = jclip.l2_normalize(jax.jit(jclip.vision_features,
+                                        static_argnames=("cfg",))(
+            params["vision"], views[:, 0], clip_cfg.vision))
+        return jnp.exp(params["logit_scale"]) * vf @ text_cls.T
 
-        logits = np.asarray(logits)
+    # keep a couple of device steps in flight so the host-side fetch and
+    # decode overlap TPU compute (the per-dispatch round trip is ~40ms on
+    # the tunneled chip; the reference's loop serializes it all)
+    DEPTH = 2
+    in_flight = []
+    end = time.time()
+
+    def drain(i, pending, batch):
+        logits = np.asarray(pending)
         n = logits.shape[0] - batch.pad
         acc1, acc5 = accuracy(logits[:n], batch.labels[:n], topk=(1, 5))
         top1.update(acc1, n)
         top5.update(acc5, n)
         batch_time.update(time.time() - end)
-        end = time.time()
         if (i + 1) % cfg.print_freq == 0:
             progress.display(i)
+
+    for i, batch in enumerate(loader):
+        in_flight.append((i, dispatch(batch), batch))
+        if len(in_flight) > DEPTH:
+            drain(*in_flight.pop(0))
+            end = time.time()
+    for item in in_flight:
+        drain(*item)
+        end = time.time()
     progress.display_summary()
     return [top1.avg, top5.avg]
 
