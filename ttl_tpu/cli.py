@@ -22,8 +22,11 @@ def list_of_ints(arg: str):
 def build_parser() -> argparse.ArgumentParser:
     d = TTLConfig()
     p = argparse.ArgumentParser(description="Test-time Prompt Tuning (TPU)")
-    p.add_argument("data", metavar="DIR", nargs="?", default=d.data,
+    p.add_argument("data_pos", metavar="DIR", nargs="?", default=None,
                    help="path to dataset root")
+    p.add_argument("--data", dest="data_flag", default=None,
+                   help="dataset root (flag form, as scripts/test_ttl.sh "
+                        "passes it)")
     p.add_argument("--test_sets", type=str, default=d.test_sets,
                    help="test dataset (multiple datasets split by slash)")
     p.add_argument("--dataset_mode", type=str, default=d.dataset_mode)
@@ -88,6 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
 def config_from_args(args: argparse.Namespace) -> TTLConfig:
     fields = {f for f in TTLConfig.__dataclass_fields__}
     kw = {k: v for k, v in vars(args).items() if k in fields}
+    kw["data"] = (getattr(args, "data_flag", None)
+                  or getattr(args, "data_pos", None) or TTLConfig().data)
     # argparse bool-ish flags arrive as strings when set on the command line
     if isinstance(kw.get("deyo_selection"), str):
         kw["deyo_selection"] = kw["deyo_selection"].lower() in ("1", "true")

@@ -65,6 +65,9 @@ def build_dataset(set_id: str, args, n_shot=None):
             os.path.join(base, subdir) if subdir else base,
             SPLIT_FILES[set_id.lower()], mode=args.dataset_mode,
             n_shot=n_shot)
+    if set_id == "bongard":
+        from .bongard import BongardDataset
+        return BongardDataset(root, mode=args.dataset_mode)
     raise NotImplementedError(f"unknown set_id {set_id!r}")
 
 

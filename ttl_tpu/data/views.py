@@ -87,8 +87,34 @@ class SampleLoader:
         ws = np.full((b,), 1, np.int32)
         labels = np.zeros((b,), np.int64)
         indices = np.zeros((b,), np.int64)
+
+        items = [self.dataset[int(i)] for i in idxs]
+        done = [False] * len(idxs)
+        # native threaded decode for the JPEG entries; PIL picks up the rest
+        jpegs = [k for k, (item, _) in enumerate(items)
+                 if isinstance(item, str)
+                 and item.lower().endswith((".jpg", ".jpeg"))]
+        if jpegs:
+            from . import native_decode
+            if native_decode.available():
+                sub_h = np.zeros((len(jpegs),), np.int32)
+                sub_w = np.zeros((len(jpegs),), np.int32)
+                sub_c = np.zeros((len(jpegs), self.canvas, self.canvas, 3),
+                                 np.uint8)
+                ok = native_decode.decode_batch(
+                    [items[k][0] for k in jpegs], sub_c, sub_h, sub_w)
+                for j, k in enumerate(jpegs):
+                    if ok[j]:
+                        canv[k] = sub_c[j]
+                        hs[k], ws[k] = sub_h[j], sub_w[j]
+                        done[k] = True
+
         for k, i in enumerate(idxs):
-            item, label = self.dataset[int(i)]
+            if done[k]:
+                labels[k] = items[k][1]
+                indices[k] = i
+                continue
+            item, label = items[k]
             if isinstance(item, str):
                 canv[k], hs[k], ws[k] = load_canvas(item, self.canvas)
             else:  # in-memory [H,W,3] uint8 (tests/bench datasets)
