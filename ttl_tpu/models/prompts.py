@@ -74,12 +74,13 @@ def build_text_classifier(params, tokens: jax.Array, cfg: TextConfig, *,
     return l2_normalize(jnp.concatenate(feats, axis=0))
 
 
-def build_ensemble_classifier(params, classnames: Sequence[str],
+def build_ensemble_classifier(text_params, classnames: Sequence[str],
                               cfg: TextConfig, *,
                               templates: Sequence[str] | None = None,
                               compute_dtype=jnp.bfloat16) -> jax.Array:
     """80-template ensemble: per class, mean of per-template normalized
-    embeddings, re-normalized (custom_clip_old.py:764-778 semantics)."""
+    embeddings, re-normalized (custom_clip_old.py zeroshot_classifier
+    semantics). `text_params` is the text-tower pytree (params['text'])."""
     templates = list(templates or load_imagenet_templates())
     out = []
     enc = jax.jit(lambda p, t: text_features(p, t, cfg,
@@ -87,7 +88,7 @@ def build_ensemble_classifier(params, classnames: Sequence[str],
     for cls in classnames:
         toks = jnp.asarray(tokenize(
             [t.format(cls.replace("_", " ")) for t in templates]))
-        emb = l2_normalize(enc(params, toks))
+        emb = l2_normalize(enc(text_params, toks))
         mean = jnp.mean(emb, axis=0)
         out.append(mean / jnp.linalg.norm(mean))
     return jnp.stack(out)
@@ -109,23 +110,63 @@ class PromptLearnerState:
     prefix: jax.Array        # [C, 1, d] SOS embedding
     suffix: jax.Array        # [C, 77 - 1 - n_ctx, d] class tokens + EOT + pad
     tokenized: jax.Array     # [C, 77] for EOT-position pooling
+    name_lens: jax.Array     # [C] class-name token counts (middle/front)
     n_ctx: int = dataclasses.field(metadata={"static": True})
     prompt_prefix: str = dataclasses.field(metadata={"static": True})
+    ctx_position: str = dataclasses.field(default="end",
+                                          metadata={"static": True})
 
     def assemble(self, ctx: jax.Array | None = None) -> jax.Array:
         """[C, 77, d] prompt embeddings with the (possibly updated) ctx
-        spliced in ('end' class-token position, custom_clip.py:394-414)."""
+        spliced at the configured class-token position
+        (custom_clip.py:394-461: 'end' is the default/live path; 'middle'
+        and 'front' re-order ctx around the class-name tokens)."""
         c = self.ctx if ctx is None else ctx
-        n_cls = self.prefix.shape[0]
+        n_cls, one, d = self.prefix.shape
         ctx_block = jnp.broadcast_to(c, (n_cls, *c.shape))
-        return jnp.concatenate([self.prefix, ctx_block, self.suffix], axis=1)
+        if self.ctx_position == "end":
+            return jnp.concatenate([self.prefix, ctx_block, self.suffix],
+                                   axis=1)
+
+        # middle/front: per class, interleave [class tokens | ctx] inside the
+        # suffix. Static shapes: build a gather index per class from
+        # name_lens (the suffix holds class tokens then EOT/pad).
+        half = self.n_ctx // 2
+        s_len = self.suffix.shape[1]
+        total = 1 + self.n_ctx + s_len
+        out_pos = jnp.arange(self.n_ctx + s_len)  # positions after SOS
+
+        def per_class(suffix_c, name_len):
+            # source sequence: [ctx (n_ctx) | suffix (s_len)]
+            src = jnp.concatenate([c.astype(suffix_c.dtype), suffix_c],
+                                  axis=0)
+            if self.ctx_position == "front":
+                # class tokens first, then full ctx, then rest of suffix
+                idx = jnp.where(
+                    out_pos < name_len, self.n_ctx + out_pos,
+                    jnp.where(out_pos < name_len + self.n_ctx,
+                              out_pos - name_len,
+                              out_pos))
+            else:  # middle: ctx[:half], class, ctx[half:], rest
+                idx = jnp.where(
+                    out_pos < half, out_pos,
+                    jnp.where(out_pos < half + name_len,
+                              self.n_ctx + (out_pos - half),
+                              jnp.where(out_pos < self.n_ctx + name_len,
+                                        out_pos - name_len,
+                                        out_pos)))
+            return src[idx]
+
+        body = jax.vmap(per_class)(self.suffix, self.name_lens)
+        return jnp.concatenate([self.prefix, body], axis=1)
 
     def reset(self) -> "PromptLearnerState":
         return dataclasses.replace(self, ctx=self.ctx_init)
 
 
 def init_prompt_learner(token_embed: jax.Array, classnames: Sequence[str],
-                        ctx_init: str = "a_photo_of_a") -> PromptLearnerState:
+                        ctx_init: str = "a_photo_of_a",
+                        ctx_position: str = "end") -> PromptLearnerState:
     """Build the prompt-learner buffers from the (frozen) token embedding
     table. ctx vectors are the embeddings of the init phrase
     (custom_clip.py:243-269)."""
@@ -138,12 +179,16 @@ def init_prompt_learner(token_embed: jax.Array, classnames: Sequence[str],
     toks = jnp.asarray(prompt_tokens(classnames, phrase))
     embedding = token_embed[toks]  # [C, 77, d]
     ctx = token_embed[jnp.asarray(phrase_ids)]
+    name_lens = jnp.asarray([len(tk.encode(c.replace("_", " ")))
+                             for c in classnames], jnp.int32)
     return PromptLearnerState(
         ctx=ctx.astype(jnp.float32),
         ctx_init=ctx.astype(jnp.float32),
         prefix=embedding[:, :1],
         suffix=embedding[:, 1 + n_ctx:],
         tokenized=toks,
+        name_lens=name_lens,
         n_ctx=n_ctx,
         prompt_prefix=phrase,
+        ctx_position=ctx_position,
     )
