@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TTLConfig
-from ..models.clip import (CLIPConfig, l2_normalize,
-                           text_features_from_embeddings, vision_features)
+from ..models.clip import (CLIPConfig, encode_image, l2_normalize,
+                           text_features_from_embeddings)
 from ..models.prompts import prompt_tokens
 from ..ops.entropy import select_confident, tpt_loss
 from ..tokenizer.bpe import default_tokenizer
@@ -116,8 +116,8 @@ def make_cocoop_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
 
     def adapt_and_infer(params, state, views, key):
         ls = jnp.exp(params["logit_scale"])
-        vf = l2_normalize(vision_features(params["vision"], views,
-                                          clip_cfg.vision, compute_dtype=cd))
+        vf = l2_normalize(encode_image(params["vision"], views,
+                                       clip_cfg.vision, compute_dtype=cd))
         # gen_ctx over the mean view feature (cocoop.py:179)
         pgen_ctx0 = jax.lax.stop_gradient(
             meta_shift(state, jnp.mean(vf, axis=0, keepdims=True)))[0]

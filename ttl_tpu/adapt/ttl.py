@@ -117,9 +117,10 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
                                  lora_scale=scale, compute_dtype=cd)
             txt = text_cls
         else:  # lora_encoder == 'text': image features frozen, text adapted
+            from ..models.clip import encode_image
             vf = jax.lax.stop_gradient(
-                vision_features(params["vision"], views, clip_cfg.vision,
-                                compute_dtype=cd))
+                encode_image(params["vision"], views, clip_cfg.vision,
+                             compute_dtype=cd))
             txt = l2_normalize(text_features(
                 params["text"], tokens, clip_cfg.text, adapters=adapters,
                 adapter_window=window, lora_scale=scale, compute_dtype=cd))
@@ -244,7 +245,8 @@ def make_tpt_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
     k_sel = max(int(cfg.batch_size * cfg.selection_p), 1)
 
     def adapt(params, pl_state, views, key):
-        vf = l2_normalize(vision_features(
+        from ..models.clip import encode_image
+        vf = l2_normalize(encode_image(
             params["vision"], views, clip_cfg.vision, compute_dtype=cd))
         ls = jnp.exp(params["logit_scale"])
 

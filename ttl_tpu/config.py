@@ -65,7 +65,10 @@ class TTLConfig:
     reweight_plpd: int = 0
 
     # --- TPU-native extensions (no reference equivalent)
-    sample_batch: int = 1                    # test samples adapted concurrently (vmap)
+    # samples adapted concurrently (vmap). Per-sample results are identical
+    # for any value (episodic adaptation is independent by construction);
+    # 8 keeps a v5e chip saturated while bounding latency/memory
+    sample_batch: int = 8
     mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh, None = all chips
     param_dtype: str = "bfloat16"            # frozen tower weights
     compute_dtype: str = "bfloat16"          # activations (entropy math stays fp32)

@@ -135,11 +135,14 @@ class SampleLoader:
     def __iter__(self) -> Iterator[SampleBatch]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        failure = []
 
         def worker():
             try:
                 for s in range(0, len(self.order), self.batch_size):
                     q.put(self._make_batch(self.order[s: s + self.batch_size]))
+            except BaseException as e:  # surface decode errors to the caller
+                failure.append(e)
             finally:
                 q.put(stop)
 
@@ -148,6 +151,8 @@ class SampleLoader:
         while True:
             item = q.get()
             if item is stop:
+                if failure:
+                    raise failure[0]
                 break
             yield item
 

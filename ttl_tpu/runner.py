@@ -78,7 +78,17 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
         out_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32)
 
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    _zero_shot_encode = jax.jit(lambda p, x: jclip.encode_image(
+        p, x, clip_cfg.vision, compute_dtype=cd))
+
     use_prompt = cfg.lora_encoder == "prompt"
+    if cfg.tta_steps > 0 and cfg.lora_encoder == "image" and \
+            not isinstance(clip_cfg.vision, jclip.VisionConfig):
+        raise ValueError(
+            f"arch {cfg.arch!r} has a ResNet vision tower; image-encoder "
+            "LoRA adaptation requires a ViT backbone (as in the reference). "
+            "Use --lora_encoder prompt|text or --tta_steps 0.")
     if use_prompt:
         pl_state = init_prompt_learner(
             params["text"]["token_embed"].astype(jnp.float32), classnames,
@@ -115,9 +125,10 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             else:
                 res = adapt_fn(params, text_cls, adapters0, views, view_keys)
             return res.logits
-        vf = jclip.l2_normalize(jax.jit(jclip.vision_features,
-                                        static_argnames=("cfg",))(
-            params["vision"], views[:, 0], clip_cfg.vision))
+        # tta_steps == 0: plain zero-shot on the clean view (works for every
+        # backbone incl. RN50)
+        vf = jclip.l2_normalize(_zero_shot_encode(params["vision"],
+                                                  views[:, 0]))
         return jnp.exp(params["logit_scale"]) * vf @ text_cls.T
 
     # keep a couple of device steps in flight so the host-side fetch and
