@@ -111,3 +111,34 @@ def test_cli_defaults_match_reference():
                         reweight_plpd=0, aug_type="patch", patch_len=6)
     for k, v in ref_defaults.items():
         assert getattr(cfg, k) == v, k
+
+
+def test_sample_batch_invariance():
+    """Per-sample results must not depend on how many samples are vmapped
+    together (episodic independence + per-index view keys)."""
+    ds = make_synthetic_dataset()
+    r1 = run(CFG.replace(sample_batch=1), datasets={"eurosat": ds})
+    r3 = run(CFG.replace(sample_batch=3), datasets={"eurosat": ds})
+    assert r1["eurosat"] == pytest.approx(r3["eurosat"], abs=1e-6)
+
+
+def test_pytree_checkpoint_cache(tmp_path):
+    """save_pytree/load_pytree roundtrip feeds the runner unchanged."""
+    import jax
+    import numpy as np
+
+    from ttl_tpu.models.clip import init_clip_params
+    from ttl_tpu.models.convert import load_pytree, save_pytree
+    from ttl_tpu.models.zoo import TEST_TINY
+
+    p = init_clip_params(jax.random.PRNGKey(0), TEST_TINY)
+    path = tmp_path / "clip.npz"
+    save_pytree(str(path), p)
+    back = load_pytree(str(path))
+    a = {jax.tree_util.keystr(k): np.asarray(v)
+         for k, v in jax.tree_util.tree_leaves_with_path(p)}
+    b = {jax.tree_util.keystr(k): np.asarray(v)
+         for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)

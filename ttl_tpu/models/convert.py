@@ -210,9 +210,48 @@ def infer_config_from_openai(sd) -> CLIPConfig:
     )
 
 
+def save_pytree(path: str, params) -> None:
+    """Cache a converted checkpoint as a flat .npz (SURVEY.md section 5:
+    convert the torch checkpoint once, reload as a JAX pytree)."""
+    import jax
+    flat = {jax.tree_util.keystr(k): np.asarray(v)
+            for k, v in jax.tree_util.tree_leaves_with_path(params)}
+    np.savez(path, **flat)
+
+
+def load_pytree(path: str):
+    """Inverse of save_pytree: rebuild the nested dict/list pytree from the
+    keystr-flattened .npz."""
+    flat = dict(np.load(path))
+    root: dict = {}
+    for keystr, value in flat.items():
+        # keystr like "['vision']['layers'][0]['conv1']"
+        parts = [p.strip("'\"") for p in
+                 keystr.replace("]", "").split("[") if p]
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    tree = listify(root)
+    return tree if isinstance(tree, dict) and len(tree) > 1 else tree
+
+
 def load_checkpoint(path: str, cfg: CLIPConfig = None, param_dtype=np.float32):
-    """Load a local CLIP checkpoint (torch .pt/.bin or .safetensors), auto-
-    detecting HF vs OpenAI layout. Returns (params, cfg)."""
+    """Load a local CLIP checkpoint (torch .pt/.bin, .safetensors, or a
+    cached .npz pytree from save_pytree), auto-detecting HF vs OpenAI
+    layout. Returns (params, cfg)."""
+    if str(path).endswith(".npz"):
+        if cfg is None:
+            raise ValueError(".npz pytree cache requires an explicit config")
+        return load_pytree(path), cfg
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file
         sd = load_file(path)
