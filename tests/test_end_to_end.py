@@ -142,3 +142,31 @@ def test_pytree_checkpoint_cache(tmp_path):
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_text_lora_mode_runs():
+    ds = make_synthetic_dataset(n=6)
+    r = run(CFG.replace(lora_encoder="text", sample_batch=3),
+            datasets={"eurosat": ds})
+    assert 0.0 <= r["eurosat"][0] <= 100.0
+
+
+def test_tpt_prompt_mode_runs():
+    ds = make_synthetic_dataset(n=6)
+    r = run(CFG.replace(lora_encoder="prompt", sample_batch=3),
+            datasets={"eurosat": ds})
+    assert 0.0 <= r["eurosat"][0] <= 100.0
+
+
+def test_loader_sharding_partitions_samples():
+    """Multi-host input sharding: shards are disjoint and cover the order."""
+    ds = make_synthetic_dataset(n=10)
+    parts = []
+    for i in range(3):
+        loader = SampleLoader(ds, batch_size=2, shuffle=True, seed=0,
+                              canvas=160, shard=(i, 3))
+        parts.append([int(x) for b in loader
+                      for x in b.indices[: 2 - b.pad]])
+    flat = sum(parts, [])
+    assert sorted(flat) == list(range(10))
+    assert len(set(map(tuple, parts))) == 3

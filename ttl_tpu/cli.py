@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--max_samples", default=None, type=int,
                    help="cap samples per dataset (smoke runs)")
+    p.add_argument("--profile", default=None, type=str, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "and print the top device ops")
     return p
 
 
@@ -107,6 +110,14 @@ def main(argv=None):
     from .utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     from .runner import run
+    if args.profile:
+        from .utils.profiling import op_stats, trace
+        with trace(args.profile):
+            results = run(cfg, max_samples=args.max_samples)
+        for row in op_stats(args.profile):
+            print(f"{row['fraction']*100:5.1f}%  {row['bound_by'] or '':10}"
+                  f"  {str(row['operation'])[:90]}")
+        return results
     return run(cfg, max_samples=args.max_samples)
 
 

@@ -61,7 +61,8 @@ class SampleLoader:
 
     def __init__(self, dataset, batch_size: int = 1, *, shuffle: bool = True,
                  seed: int = 0, canvas: int = DEFAULT_CANVAS,
-                 max_samples: Optional[int] = None, prefetch: int = 4):
+                 max_samples: Optional[int] = None, prefetch: int = 4,
+                 shard: Optional[Tuple[int, int]] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.canvas = canvas
@@ -70,6 +71,13 @@ class SampleLoader:
             np.random.RandomState(seed).shuffle(order)
         if max_samples is not None:
             order = order[:max_samples]
+        if shard is not None:
+            # multi-host input sharding: process i of n takes every n-th
+            # sample of the (seed-shared) shuffled order - the DCN-side
+            # split of the file list (SURVEY.md section 5); accuracy
+            # reduction across hosts goes through parallel.eval psum
+            i, n = shard
+            order = order[i::n]
         self.order = order
         self.prefetch = prefetch
 
