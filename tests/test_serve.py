@@ -1,0 +1,89 @@
+"""Serving layer: persistent predictor + HTTP endpoint (tiny model, CPU)."""
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from ttl_tpu.config import TTLConfig
+from ttl_tpu.models.clip import init_clip_params
+from ttl_tpu.models.zoo import TEST_TINY
+from ttl_tpu.serve import TTLPredictor, serve
+
+CFG = TTLConfig(arch="test-tiny", resolution=64, batch_size=8,
+                layer_range=(2, 3), rank=4, compute_dtype="float32",
+                param_dtype="float32", sample_batch=2)
+CLASSES = ["forest", "river", "highway"]
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    params = init_clip_params(jax.random.PRNGKey(0), TEST_TINY)
+    return TTLPredictor(CLASSES, CFG, params=params, clip_cfg=TEST_TINY,
+                        warmup=False)
+
+
+def test_predict_structure(predictor):
+    imgs = [np.random.RandomState(i).randint(0, 255, (100, 120, 3),
+                                             dtype=np.uint8)
+            for i in range(3)]
+    out = predictor.predict(imgs)
+    assert len(out) == 3
+    for r in out:
+        assert r["label"] in CLASSES
+        assert r["zero_shot_label"] in CLASSES
+        probs = [t["prob"] for t in r["topk"]]
+        assert abs(sum(probs) - 1.0) < 1e-3
+        assert probs == sorted(probs, reverse=True)
+
+
+def test_predict_bytes(predictor):
+    img = np.random.RandomState(0).randint(0, 255, (80, 80, 3),
+                                           dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    out = predictor.predict_bytes([buf.getvalue()])
+    assert out[0]["label"] in CLASSES
+
+
+def test_http_endpoint(predictor):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    t = threading.Thread(target=serve, args=(predictor, "127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    import time
+    for _ in range(50):
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=1) as r:
+                assert r.read() == b"ok"
+            break
+        except OSError:
+            time.sleep(0.1)
+
+    img = np.random.RandomState(1).randint(0, 255, (64, 64, 3),
+                                           dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                 data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        payload = json.loads(r.read())
+    assert payload["label"] in CLASSES
+    assert "latency_ms" in payload
+
+    # probe: garbage body -> 400, not a crash
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                 data=b"not an image", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400

@@ -1,0 +1,185 @@
+"""Serving: a persistent TTL predictor and a minimal HTTP endpoint.
+
+The reference is a research evaluation script; this module is the production
+face of the same capability: load the model once, keep the compiled episodic
+program warm, and serve adapt-and-classify requests (each request image gets
+the full 64-view TTL treatment and an episodic reset, so requests are
+stateless and order-independent by construction).
+
+`TTLPredictor` is the embeddable API; `python -m ttl_tpu.serve` exposes it
+over HTTP (stdlib http.server - POST a JPEG/PNG body to /predict).
+"""
+from __future__ import annotations
+
+import io
+import json
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .adapt.ttl import make_batched_ttl_fn
+from .config import TTLConfig
+from .models.prompts import build_text_classifier, prompt_tokens
+from .ops.image import make_batched_view_fn
+from .runner import load_model, make_adapters0
+from .utils.jaxcache import enable_compilation_cache
+
+
+class TTLPredictor:
+    """Load once, adapt-and-classify forever.
+
+    Each call runs the episodic TTL step per image (fresh LoRA + AdamW
+    state), classifies the clean view, and returns top-k labels with
+    softmax confidences plus the zero-shot prediction for comparison.
+    """
+
+    def __init__(self, classnames: Sequence[str],
+                 cfg: TTLConfig = TTLConfig(), *,
+                 params=None, clip_cfg=None, warmup: bool = True):
+        enable_compilation_cache()
+        self.cfg = cfg
+        self.classnames = list(classnames)
+        if params is None:
+            clip_cfg, params = load_model(cfg)
+        self.clip_cfg, self.params = clip_cfg, params
+        toks = jnp.asarray(prompt_tokens(
+            self.classnames, cfg.ctx_init.replace("_", " ")))
+        cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.text_cls = build_text_classifier(params["text"], toks,
+                                              clip_cfg.text, compute_dtype=cd)
+        self.adapters0 = make_adapters0(cfg, clip_cfg)
+        self.view_fn = make_batched_view_fn(cfg.batch_size, cfg.resolution,
+                                            out_dtype=cd)
+        self.adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
+        self._canvas = 512
+        self._step = 0
+        if warmup:
+            self.predict([np.zeros((64, 64, 3), np.uint8)])
+
+    def _batch(self, images: Sequence[np.ndarray]):
+        s = self.cfg.sample_batch
+        canv = np.zeros((s, self._canvas, self._canvas, 3), np.uint8)
+        hs = np.full((s,), 1, np.int32)
+        ws = np.full((s,), 1, np.int32)
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            if max(h, w) > self._canvas:
+                from PIL import Image
+                sc = self._canvas / max(h, w)
+                im = Image.fromarray(img).resize(
+                    (max(1, round(w * sc)), max(1, round(h * sc))))
+                img = np.asarray(im)
+                h, w = img.shape[:2]
+            canv[i, :h, :w] = img
+            hs[i], ws[i] = h, w
+        return canv, hs, ws
+
+    def predict(self, images: Sequence[np.ndarray], *,
+                topk: int = 5) -> List[dict]:
+        """images: uint8 [H,W,3] arrays. Returns one dict per image."""
+        out: List[dict] = []
+        s = self.cfg.sample_batch
+        for start in range(0, len(images), s):
+            chunk = list(images[start: start + s])
+            canv, hs, ws = self._batch(chunk)
+            keys = jax.vmap(lambda i: jax.random.fold_in(
+                jax.random.PRNGKey(self.cfg.seed), i))(
+                jnp.arange(self._step, self._step + s, dtype=jnp.uint32))
+            self._step += s
+            views = self.view_fn(jnp.asarray(canv), jnp.asarray(hs),
+                                 jnp.asarray(ws), keys)
+            res = self.adapt_fn(self.params, self.text_cls, self.adapters0,
+                                views, keys)
+            logits = np.asarray(res.logits, np.float32)[: len(chunk)]
+            zs = np.asarray(res.zero_shot_logits, np.float32)[: len(chunk)]
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            for p, z in zip(probs, zs):
+                order = np.argsort(-p)[:topk]
+                out.append({
+                    "label": self.classnames[int(order[0])],
+                    "topk": [{"label": self.classnames[int(i)],
+                              "prob": float(p[i])} for i in order],
+                    "zero_shot_label":
+                        self.classnames[int(np.argmax(z))],
+                })
+        return out
+
+    def predict_bytes(self, blobs: Sequence[bytes], **kw) -> List[dict]:
+        from PIL import Image
+
+        images = [np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+                  for b in blobs]
+        return self.predict(images, **kw)
+
+
+def serve(predictor: TTLPredictor, host: str = "127.0.0.1",
+          port: int = 8787):
+    """Single-threaded HTTP endpoint: POST an image body to /predict."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            if self.path.rstrip("/") != "/predict":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                t0 = time.time()
+                result = predictor.predict_bytes([body])[0]
+                result["latency_ms"] = round((time.time() - t0) * 1e3, 1)
+                payload = json.dumps(result).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            except Exception as e:  # malformed image etc.
+                self.send_error(400, str(e)[:200])
+
+        def do_GET(self):  # noqa: N802
+            if self.path.rstrip("/") == "/healthz":
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = HTTPServer((host, port), Handler)
+    print(f"ttl_tpu serving on http://{host}:{port}/predict", flush=True)
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    import argparse
+
+    from .data.classnames import resolve_classnames
+
+    p = argparse.ArgumentParser(description="TTL-TPU serving endpoint")
+    p.add_argument("--test_sets", default="eurosat",
+                   help="set_id whose classname table to serve")
+    p.add_argument("--arch", default="ViT-B/16")
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--sample_batch", default=1, type=int)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", default=8787, type=int)
+    args = p.parse_args(argv)
+
+    cfg = TTLConfig(arch=args.arch, checkpoint_path=args.checkpoint_path,
+                    sample_batch=args.sample_batch,
+                    test_sets=args.test_sets)
+    predictor = TTLPredictor(resolve_classnames(args.test_sets), cfg)
+    serve(predictor, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
