@@ -19,8 +19,6 @@ of the tower is wrapped in stop_gradient so backward walks 3 layers, not 12.
 """
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -28,9 +26,8 @@ import jax.numpy as jnp
 import optax
 
 from ..config import TTLConfig, effective_update_steps
-from ..models.clip import (CLIPConfig, cosine_logits, l2_normalize,
-                           text_features, text_features_from_embeddings,
-                           vision_features)
+from ..models.clip import (CLIPConfig, l2_normalize, text_features,
+                           text_features_from_embeddings, vision_features)
 from ..ops.entropy import deyo_loss, select_confident, tpt_loss
 from ..ops.lora import lora_scale
 

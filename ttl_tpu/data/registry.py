@@ -9,8 +9,6 @@ worker processes.
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
-
 from .folder import ImageFolderDataset
 from .json_splits import AircraftDataset, JsonSplitDataset, SPLIT_FILES
 

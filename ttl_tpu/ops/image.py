@@ -22,8 +22,7 @@ chains are enabled via TTLConfig/aug_list for capability parity.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

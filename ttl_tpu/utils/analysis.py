@@ -7,14 +7,13 @@ are plain arrays or saved files.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.clip import (VisionConfig, _attention, encoder_layer,
-                           layer_norm, linear, quick_gelu)
+from ..models.clip import (VisionConfig, layer_norm, linear, quick_gelu)
 
 
 def vision_attention_maps(p, images: jax.Array, cfg: VisionConfig, *,
