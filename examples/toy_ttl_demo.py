@@ -16,8 +16,9 @@ What it shows:
   structure. This demo validates the machinery, not the research claim.
 """
 import os
+import sys
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
