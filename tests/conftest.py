@@ -17,3 +17,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compile cache: repeat test runs skip CPU XLA compilation
+from ttl_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/jax_ttl_cpu"))

@@ -179,15 +179,16 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
 
         def step(carry, skey):
             adapters, opt_state, sel_mask, is_first = carry
-            (loss, logits), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(adapters, sel_mask, skey)
             if not use_deyo:
-                new_mask = jax.lax.stop_gradient(first_mask(logits))
-                sel_mask = jnp.where(is_first, new_mask, sel_mask)
-                # first step's loss was computed with the placeholder mask;
-                # recompute it against the true mask for reporting/grads
-                (loss, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(adapters, sel_mask, skey)
+                # selection is non-differentiable (stop-grad indices in the
+                # reference, ttl.py:97-100): resolve this step's mask from a
+                # grad-free forward, freezing it after step 0
+                logits0 = jax.lax.stop_gradient(
+                    encode_views(params, adapters, views, tokens=tokens,
+                                 text_cls=text_cls))
+                sel_mask = jnp.where(is_first, first_mask(logits0), sel_mask)
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(adapters, sel_mask, skey)
             updates, opt_state = opt.update(grads, opt_state, adapters)
             adapters = optax.apply_updates(adapters, updates)
             return (adapters, opt_state, sel_mask,
