@@ -171,3 +171,32 @@ def test_adamw_matches_torch():
         jp = optax.apply_updates(jp, upd)
     np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_all_views_filtered_skips_optimizer_step(setup):
+    """deyo.py:110-113,184: when every view is dropped (here via an
+    impossible PLPD threshold) the optimizer step is skipped entirely -
+    adapters stay at init, so adapted logits equal zero-shot logits."""
+    params, text_cls, adapters0, views, _ = setup
+    cfgp = CFG.replace(filter_plpd=1, plpd_threshold=2.0, patch_len=4)
+    fn = make_ttl_adapt_fn(TEST_TINY, cfgp)
+    res = fn(params, text_cls, adapters0, views, jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree.leaves(res.adapters),
+                    jax.tree.leaves(adapters0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.logits),
+                               np.asarray(res.zero_shot_logits),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_qkv_layout_matches_unfused(setup):
+    from ttl_tpu.models.clip import fuse_qkv_params, vision_features
+
+    params, _, _, views, _ = setup
+    fused = fuse_qkv_params(params["vision"])
+    a = vision_features(params["vision"], views[:2], TEST_TINY.vision,
+                        compute_dtype=jnp.float32)
+    b = vision_features(fused, views[:2], TEST_TINY.vision,
+                        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)

@@ -170,3 +170,37 @@ def test_loader_sharding_partitions_samples():
     flat = sum(parts, [])
     assert sorted(flat) == list(range(10))
     assert len(set(map(tuple, parts))) == 3
+
+
+def test_cocoop_mode_runs():
+    """--cocoop must actually route to the CoCoOp adapt path."""
+    ds = make_synthetic_dataset(n=4)
+    r = run(CFG.replace(cocoop=True, sample_batch=2),
+            datasets={"eurosat": ds})
+    assert 0.0 <= r["eurosat"][0] <= 100.0
+
+
+def test_prompt_mode_zero_shot():
+    """--lora_encoder prompt --tta_steps 0: classify with the unadapted
+    prompt-learner ctx table (regression: text_cls used to be None here)."""
+    ds = make_synthetic_dataset(n=4)
+    r = run(CFG.replace(lora_encoder="prompt", tta_steps=0, sample_batch=2),
+            datasets={"eurosat": ds})
+    assert 0.0 <= r["eurosat"][0] <= 100.0
+
+
+def test_load_prompt_checkpoint(tmp_path):
+    """--load applies a CoOp ctx checkpoint to the prompt learner."""
+    import torch
+
+    ctx = np.full((4, 32), 0.25, np.float32)
+    ckpt = {"state_dict": {"prompt_learner.ctx": torch.tensor(ctx),
+                           "token_prefix": torch.zeros(1),
+                           "token_suffix": torch.zeros(1)},
+            "epoch": 3}
+    path = tmp_path / "coop.pth.tar"
+    torch.save(ckpt, path)
+    ds = make_synthetic_dataset(n=2)
+    r = run(CFG.replace(lora_encoder="prompt", load=str(path),
+                        sample_batch=2), datasets={"eurosat": ds})
+    assert 0.0 <= r["eurosat"][0] <= 100.0

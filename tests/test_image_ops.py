@@ -216,3 +216,12 @@ def test_augmix_chain_runs(photo):
            jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(v)).all()
     assert v.shape == (4, 3, 64, 64)
+
+
+def test_posterize_op_matches_pil_at_severity_1(photo):
+    """severity=1 pins the sampled level to 0 -> bits_kept=4, so the op is
+    deterministic and must equal ImageOps.posterize(img, 4) exactly."""
+    ours = np.asarray(am.posterize(jnp.asarray(photo),
+                                   jax.random.PRNGKey(3), 1))
+    ref = from_pil(ImageOps.posterize(to_pil(photo), 4))
+    assert psnr(ours, ref) > 45

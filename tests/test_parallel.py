@@ -77,3 +77,17 @@ def test_sharded_topk_correct(setup):
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_resnet_params_shard_replicated_on_model_axis():
+    """RN-family towers have no stacked transformer layers; param_spec must
+    replicate them (no 3D specs on 2D attnpool arrays)."""
+    from ttl_tpu.models.resnet import ResNetVisionConfig, init_resnet_params
+
+    cfg_t = ResNetVisionConfig(layers=(1, 1, 1, 1), width=16, heads=4,
+                               proj_dim=16, image_size=64)
+    p = {"vision": init_resnet_params(jax.random.PRNGKey(0), cfg_t)}
+    mesh = make_mesh((4, 2))
+    placed = shard_params(p, mesh)  # must not raise
+    leaves = jax.tree.leaves(placed)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves[:3])

@@ -106,18 +106,24 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
     use_deyo = cfg.deyo_selection and cfg.lora_encoder != "prompt"
     on_image = cfg.lora_encoder == "image"
 
-    def encode_views(params, adapters, views, tokens=None, text_cls=None):
-        """Return [V, C] logits for the current adapter state."""
+    def encode_views(params, adapters, views, tokens=None, text_cls=None,
+                     img_feats=None):
+        """Return [V, C] logits for the current adapter state. For
+        lora_encoder='text' the vision tower is frozen, so callers pass the
+        per-sample `img_feats` computed once instead of re-encoding 64 views
+        on every step."""
         if on_image:
             vf = vision_features(params["vision"], views, clip_cfg.vision,
                                  adapters=adapters, adapter_window=window,
                                  lora_scale=scale, compute_dtype=cd)
             txt = text_cls
         else:  # lora_encoder == 'text': image features frozen, text adapted
-            from ..models.clip import encode_image
-            vf = jax.lax.stop_gradient(
-                encode_image(params["vision"], views, clip_cfg.vision,
-                             compute_dtype=cd))
+            if img_feats is None:
+                from ..models.clip import encode_image
+                img_feats = jax.lax.stop_gradient(
+                    encode_image(params["vision"], views, clip_cfg.vision,
+                                 compute_dtype=cd))
+            vf = img_feats
             txt = l2_normalize(text_features(
                 params["text"], tokens, clip_cfg.text, adapters=adapters,
                 adapter_window=window, lora_scale=scale, compute_dtype=cd))
@@ -155,53 +161,68 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
 
     def adapt_one(params, text_cls, adapters0, views, key,
                   tokens: Optional[jax.Array] = None) -> AdaptResult:
+        # text-mode: the frozen 64-view vision features are encoded ONCE per
+        # sample and reused by every step (they never change within a sample)
+        img_feats = None
+        if not on_image:
+            from ..models.clip import encode_image
+            img_feats = jax.lax.stop_gradient(
+                encode_image(params["vision"], views, clip_cfg.vision,
+                             compute_dtype=cd))
+
+        def enc(adapters, v, feats):
+            return encode_views(params, adapters, v, tokens=tokens,
+                                text_cls=text_cls, img_feats=feats)
+
         zs_logits = jax.lax.stop_gradient(
-            encode_views(params, None, views[:1], tokens=tokens,
-                         text_cls=text_cls))[0]
+            enc(None, views[:1],
+                None if img_feats is None else img_feats[:1]))[0]
 
         def loss_fn(adapters, sel_mask, skey):
-            logits = encode_views(params, adapters, views,
-                                  tokens=tokens, text_cls=text_cls)
+            logits = enc(adapters, views, img_feats)
             if use_deyo:
-                loss, _ = deyo_objective(logits, views, adapters, params,
-                                         text_cls, tokens, skey)
+                loss, aux = deyo_objective(logits, views, adapters, params,
+                                           text_cls, tokens, skey)
+                n_backward = aux["n_backward"]
             else:
                 # TPT objective on LoRA params (deyo_selection=False):
                 # select once at step 0, then reuse indices (ttl.py:97-100)
                 loss = tpt_loss(logits, sel_mask)
-            return loss, logits
+                n_backward = jnp.float32(1.0)
+            return loss, n_backward
 
-        def first_mask(logits):
-            _, _, mask = select_confident(logits, k_sel)
-            return mask
+        if use_deyo:
+            sel_mask = jnp.ones((cfg.batch_size,), bool)  # unused
+        else:
+            # non-differentiable selection, frozen after the first forward
+            # (stop-grad indices in the reference, ttl.py:97-100)
+            logits0 = jax.lax.stop_gradient(enc(adapters0, views, img_feats))
+            _, _, sel_mask = select_confident(logits0, k_sel)
 
         opt_state = opt.init(adapters0)
 
         def step(carry, skey):
-            adapters, opt_state, sel_mask, is_first = carry
-            if not use_deyo:
-                # selection is non-differentiable (stop-grad indices in the
-                # reference, ttl.py:97-100): resolve this step's mask from a
-                # grad-free forward, freezing it after step 0
-                logits0 = jax.lax.stop_gradient(
-                    encode_views(params, adapters, views, tokens=tokens,
-                                 text_cls=text_cls))
-                sel_mask = jnp.where(is_first, first_mask(logits0), sel_mask)
-            (loss, _), grads = jax.value_and_grad(
+            adapters, opt_state = carry
+            (loss, n_backward), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(adapters, sel_mask, skey)
-            updates, opt_state = opt.update(grads, opt_state, adapters)
-            adapters = optax.apply_updates(adapters, updates)
-            return (adapters, opt_state, sel_mask,
-                    jnp.zeros((), bool)), loss
+            new_updates, new_opt_state = opt.update(grads, opt_state,
+                                                    adapters)
+            # reference skips the optimizer step entirely when every view is
+            # filtered out (deyo.py:110-113,184) - without this, AdamW
+            # weight decay would still mutate the adapters on a zero loss
+            do = n_backward > 0
+            adapters = jax.tree.map(
+                lambda a, u: jnp.where(do, a + u, a), adapters, new_updates)
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(do, n, o), new_opt_state, opt_state)
+            return (adapters, opt_state), loss
 
-        init_mask = jnp.ones((cfg.batch_size,), bool)
-        (adapters, _, _, _), losses = jax.lax.scan(
-            step, (adapters0, opt_state, init_mask, jnp.ones((), bool)),
-            jax.random.split(key, steps))
+        (adapters, _), losses = jax.lax.scan(
+            step, (adapters0, opt_state), jax.random.split(key, steps))
 
         out = jax.lax.stop_gradient(
-            encode_views(params, adapters, views[:1], tokens=tokens,
-                         text_cls=text_cls))[0]
+            enc(adapters, views[:1],
+                None if img_feats is None else img_feats[:1]))[0]
         return AdaptResult(logits=out, losses=losses,
                            zero_shot_logits=zs_logits, adapters=adapters)
 

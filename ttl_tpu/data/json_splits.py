@@ -46,11 +46,22 @@ class JsonSplitDataset:
                  n_shot: Optional[int] = None):
         self.image_root = image_root
         path = _SPLITS_DIR / split_file
+        plain = None
         if not path.exists():
-            raise FileNotFoundError(
-                f"split asset {split_file} missing (run tools/extract_assets)")
-        with gzip.open(path, "rt", encoding="utf-8") as f:
-            splits = json.load(f)
+            # Food101/SUN397 splits are not bundled (absent from the
+            # reference release as well - .MISSING_LARGE_BLOBS): accept the
+            # CoOp split JSON dropped next to the dataset images instead.
+            plain = Path(image_root) / split_file.replace(".gz", "")
+            if not plain.exists():
+                raise FileNotFoundError(
+                    f"split {split_file} is not bundled; download CoOp's "
+                    f"split_zhou_*.json (github.com/KaiyangZhou/CoOp DATASETS"
+                    f".md) and place it at {plain}")
+        if plain is not None:
+            splits = json.loads(plain.read_text())
+        else:
+            with gzip.open(path, "rt", encoding="utf-8") as f:
+                splits = json.load(f)
         samples = splits[mode]
         self.image_list = [s[0] for s in samples]
         self.label_list = [int(s[1]) for s in samples]

@@ -115,9 +115,11 @@ def _attention(q, k, v, heads: int, causal: bool):
 
 def fuse_qkv_params(tower: Params) -> Params:
     """Rewrite a tower's stacked layers to a single fused qkv projection
-    ([L, D, 3D]) - one MXU matmul instead of three skinny ones. Pure layout
-    transform; encoder_layer detects the fused form. Applied at load time
-    (see runner.load_model)."""
+    ([L, D, 3D]) - one matmul instead of three. Pure layout transform;
+    encoder_layer detects the fused form. OPTIONAL and not applied by
+    default: measured neutral on v5e at ViT-B shapes (XLA already batches
+    the three projections; see the perf notes in README). Kept for configs
+    where the trade differs."""
     layers = dict(tower["layers"])
     attn = layers["attn"]
     fused = {

@@ -118,9 +118,10 @@ def equalize(img, key, severity):
 
 def posterize(img, key, severity):
     level = _int_parameter(_sample_level(key, severity), 4)
-    bits = 4 - level  # augmix_ops.py:64-66
+    bits_kept = 4 - level  # augmix_ops.py:64-66: ImageOps.posterize(img, 4-level)
     u8 = jnp.clip(jnp.round(img * 255.0), 0, 255)
-    step = jnp.power(2.0, bits)  # mask off low `bits` bits
+    # PIL keeps the top `bits_kept` bits: quantization step 2^(8-bits_kept)
+    step = jnp.power(2.0, 8.0 - bits_kept)
     return (jnp.floor(u8 / step) * step) / 255.0
 
 

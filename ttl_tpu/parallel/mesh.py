@@ -48,24 +48,30 @@ def param_spec(path: str, mesh: Mesh) -> P:
 
     q/k/v and fc1 split the output feature dim; o and fc2 split the input
     dim (so each pair contracts locally and GSPMD inserts one all-reduce per
-    block). Everything else is replicated.
+    block). Everything else - embeddings, layernorms, and non-transformer
+    towers (ResNet conv stacks, attnpool) - replicates. Matching is on
+    exact path *segments* under a stacked 'layers' node, so e.g. the RN50
+    'attnpool/q/w' (a 2D array) never picks up the 3D stacked-layer specs.
     """
     if not _has_model_axis(mesh):
         return P()
-    col = (("attn", "q", "w"), ("attn", "k", "w"), ("attn", "v", "w"),
-           ("mlp", "fc1", "w"))
-    row = (("attn", "o", "w"), ("mlp", "fc2", "w"))
-    col_b = (("attn", "q", "b"), ("attn", "k", "b"), ("attn", "v", "b"),
-             ("mlp", "fc1", "b"))
-    for pat in col:
-        if all(p in path for p in pat):
-            return P(None, None, MODEL_AXIS)  # stacked [L, in, out]
-    for pat in row:
-        if all(p in path for p in pat):
-            return P(None, MODEL_AXIS, None)
-    for pat in col_b:
-        if all(p in path for p in pat):
-            return P(None, MODEL_AXIS)
+    parts = tuple(path.split("/"))
+    if "layers" not in parts:
+        return P()
+
+    def ends_with(*suffix):
+        return parts[-len(suffix):] == suffix
+
+    if (ends_with("attn", "q", "w") or ends_with("attn", "k", "w")
+            or ends_with("attn", "v", "w") or ends_with("attn", "qkv", "w")
+            or ends_with("mlp", "fc1", "w")):
+        return P(None, None, MODEL_AXIS)  # stacked [L, in, out]
+    if ends_with("attn", "o", "w") or ends_with("mlp", "fc2", "w"):
+        return P(None, MODEL_AXIS, None)
+    if (ends_with("attn", "q", "b") or ends_with("attn", "k", "b")
+            or ends_with("attn", "v", "b") or ends_with("attn", "qkv", "b")
+            or ends_with("mlp", "fc1", "b")):
+        return P(None, MODEL_AXIS)
     return P()
 
 

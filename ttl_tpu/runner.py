@@ -30,6 +30,7 @@ from .models.prompts import (build_text_classifier, init_prompt_learner,
 from .models.zoo import get_arch
 from .ops.image import make_batched_view_fn
 from .ops.lora import init_adapters
+from .utils.checkpoint import load_prompt_state_dict
 from .utils.meters import AverageMeter, ProgressMeter, Summary, accuracy
 
 
@@ -54,8 +55,16 @@ def load_model(cfg: TTLConfig):
 
 def make_adapters0(cfg: TTLConfig, clip_cfg):
     n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
-    d = (clip_cfg.vision.hidden if cfg.lora_encoder == "image"
-         else clip_cfg.text.hidden)
+    if cfg.lora_encoder == "image":
+        if not isinstance(clip_cfg.vision, jclip.VisionConfig):
+            # ResNet tower: no transformer q/v to adapt (LoRA is ViT-only,
+            # as in the reference). Zero-shot / prompt / text modes still
+            # work; evaluate_dataset raises the actionable error if image
+            # adaptation is actually requested.
+            return None
+        d = clip_cfg.vision.hidden
+    else:
+        d = clip_cfg.text.hidden
     return init_adapters(jax.random.PRNGKey(cfg.seed), n_window, d,
                          cfg.rank, cfg.init_method)
 
@@ -89,13 +98,35 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             f"arch {cfg.arch!r} has a ResNet vision tower; image-encoder "
             "LoRA adaptation requires a ViT backbone (as in the reference). "
             "Use --lora_encoder prompt|text or --tta_steps 0.")
-    if use_prompt:
+    prompt_sd = (load_prompt_state_dict(cfg.load) if cfg.load else None)
+    use_cocoop = cfg.cocoop
+    if use_cocoop:
+        from .adapt.cocoop import init_cocoop, make_cocoop_adapt_fn
+        from .utils.checkpoint import apply_cocoop_ckpt
+        co_state = init_cocoop(
+            params["text"]["token_embed"].astype(jnp.float32), classnames,
+            clip_cfg.vision.proj_dim, jax.random.PRNGKey(cfg.seed),
+            cfg.ctx_init)
+        if prompt_sd:
+            co_state = apply_cocoop_ckpt(co_state, prompt_sd)
+        adapt_fn = jax.jit(jax.vmap(make_cocoop_adapt_fn(clip_cfg, cfg),
+                                    in_axes=(None, None, 0, 0)))
+        text_cls = None
+    elif use_prompt:
         pl_state = init_prompt_learner(
             params["text"]["token_embed"].astype(jnp.float32), classnames,
             cfg.ctx_init)
+        if prompt_sd:
+            from .utils.checkpoint import apply_prompt_ckpt
+            pl_state = apply_prompt_ckpt(pl_state, prompt_sd)
         adapt_fn = jax.jit(jax.vmap(make_tpt_adapt_fn(clip_cfg, cfg),
                                     in_axes=(None, None, 0, 0)))
-        text_cls = None
+        # zero-shot (tta_steps=0) in prompt mode classifies with the
+        # prompt-learner's own (unadapted) ctx prompts
+        text_cls = jclip.l2_normalize(
+            jclip.text_features_from_embeddings(
+                params["text"], pl_state.assemble(pl_state.ctx_init),
+                pl_state.tokenized, clip_cfg.text, compute_dtype=cd))
     else:
         text_cls = build_text_classifier(
             params["text"], toks, clip_cfg.text,
@@ -119,6 +150,13 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
         views = view_fn(jnp.asarray(batch.canvases),
                         jnp.asarray(batch.heights),
                         jnp.asarray(batch.widths), view_keys)
+        if use_cocoop:
+            # CoCoOp runs even at tta_steps=0 semantics: the reference's
+            # final inference ignores the adapted pgen_ctx (see
+            # adapt/cocoop.py docstring), so `logits` is the conditioned
+            # unadapted prediction either way
+            res = adapt_fn(params, co_state, views, view_keys)
+            return res.logits
         if cfg.tta_steps > 0:
             if use_prompt:
                 res, _ = adapt_fn(params, pl_state, views, view_keys)
@@ -126,7 +164,8 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                 res = adapt_fn(params, text_cls, adapters0, views, view_keys)
             return res.logits
         # tta_steps == 0: plain zero-shot on the clean view (works for every
-        # backbone incl. RN50)
+        # backbone incl. RN50; prompt mode classifies with the unadapted
+        # prompt-learner ctx table built above)
         vf = jclip.l2_normalize(_zero_shot_encode(params["vision"],
                                                   views[:, 0]))
         return jnp.exp(params["logit_scale"]) * vf @ text_cls.T
