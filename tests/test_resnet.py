@@ -141,3 +141,20 @@ def test_openai_converter_roundtrip():
                            compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_zoo_arch_configs_consistent():
+    """Every registered arch must have coherent head/width geometry."""
+    from ttl_tpu.models.zoo import ARCHS
+    from ttl_tpu.models.clip import VisionConfig
+
+    for name, cfg in ARCHS.items():
+        t = cfg.text
+        assert t.hidden % t.heads == 0, name
+        v = cfg.vision
+        if isinstance(v, VisionConfig):
+            assert v.hidden % v.heads == 0, name
+            assert v.image_size % v.patch == 0, name
+        else:
+            assert v.feat_dim % v.heads == 0, name
+            assert v.image_size % 32 == 0, name

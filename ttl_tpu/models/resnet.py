@@ -43,6 +43,13 @@ RESNET_ARCHS = {
                                proj_dim=1024),
     "RN101": ResNetVisionConfig(layers=(3, 4, 23, 3), width=64, heads=32,
                                 proj_dim=512),
+    # EfficientNet-style scale-ups (published CLIP zoo)
+    "RN50x4": ResNetVisionConfig(layers=(4, 6, 10, 6), width=80, heads=40,
+                                 proj_dim=640, image_size=288),
+    "RN50x16": ResNetVisionConfig(layers=(6, 8, 18, 8), width=96, heads=48,
+                                  proj_dim=768, image_size=384),
+    "RN50x64": ResNetVisionConfig(layers=(3, 15, 36, 10), width=128,
+                                  heads=64, proj_dim=1024, image_size=448),
 }
 
 

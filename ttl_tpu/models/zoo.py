@@ -12,7 +12,9 @@ from .resnet import RESNET_ARCHS
 
 ARCHS = {
     # ResNet CLIP family (clip/model.py:96-155): prompt/zero-shot paths only;
-    # LoRA adaptation targets the ViT q/v projections as in the reference
+    # LoRA adaptation targets the ViT q/v projections as in the reference.
+    # The x4/x16/x64 EfficientNet-style scalings follow the published CLIP
+    # model zoo (clip/clip.py:30-39 _MODELS).
     "RN50": CLIPConfig(
         vision=RESNET_ARCHS["RN50"],
         text=TextConfig(hidden=512, layers=12, heads=8, proj_dim=1024),
@@ -20,6 +22,18 @@ ARCHS = {
     "RN101": CLIPConfig(
         vision=RESNET_ARCHS["RN101"],
         text=TextConfig(hidden=512, layers=12, heads=8, proj_dim=512),
+    ),
+    "RN50x4": CLIPConfig(
+        vision=RESNET_ARCHS["RN50x4"],
+        text=TextConfig(hidden=640, layers=12, heads=10, proj_dim=640),
+    ),
+    "RN50x16": CLIPConfig(
+        vision=RESNET_ARCHS["RN50x16"],
+        text=TextConfig(hidden=768, layers=12, heads=12, proj_dim=768),
+    ),
+    "RN50x64": CLIPConfig(
+        vision=RESNET_ARCHS["RN50x64"],
+        text=TextConfig(hidden=1024, layers=12, heads=16, proj_dim=1024),
     ),
     "ViT-B/16": CLIPConfig(
         vision=VisionConfig(hidden=768, layers=12, heads=12, proj_dim=512,
@@ -34,6 +48,11 @@ ARCHS = {
     "ViT-L/14": CLIPConfig(
         vision=VisionConfig(hidden=1024, layers=24, heads=16, proj_dim=768,
                             patch=14, image_size=224),
+        text=TextConfig(hidden=768, layers=12, heads=12, proj_dim=768),
+    ),
+    "ViT-L/14@336px": CLIPConfig(
+        vision=VisionConfig(hidden=1024, layers=24, heads=16, proj_dim=768,
+                            patch=14, image_size=336),
         text=TextConfig(hidden=768, layers=12, heads=12, proj_dim=768),
     ),
 }
