@@ -204,3 +204,13 @@ def test_load_prompt_checkpoint(tmp_path):
     r = run(CFG.replace(lora_encoder="prompt", load=str(path),
                         sample_batch=2), datasets={"eurosat": ds})
     assert 0.0 <= r["eurosat"][0] <= 100.0
+
+
+def test_multichip_runner_matches_single_device():
+    """With sample_batch divisible by the device count the runner goes
+    data-parallel over the virtual 8-CPU mesh; accuracy must match the
+    single-device vmap path exactly."""
+    ds = make_synthetic_dataset(n=16)
+    r8 = run(CFG.replace(sample_batch=8), datasets={"eurosat": ds})
+    r2 = run(CFG.replace(sample_batch=2), datasets={"eurosat": ds})
+    assert r8["eurosat"] == pytest.approx(r2["eurosat"], abs=1e-6)

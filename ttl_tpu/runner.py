@@ -132,7 +132,26 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             params["text"], toks, clip_cfg.text,
             compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
             else jnp.float32)
-        adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
+        n_dev = jax.device_count()
+        if n_dev > 1 and cfg.sample_batch % n_dev == 0:
+            # multi-chip: shard the sample batch over the data axis (the
+            # per-sample programs are independent; one psum-equivalent
+            # gather at the end). Results are identical to the
+            # single-device vmap (test_parallel).
+            from .parallel.eval import make_sharded_ttl_fn
+            from .parallel.mesh import (make_mesh, replicate, shard_batch,
+                                        shard_params)
+            mesh = make_mesh(cfg.mesh_shape)
+            params = shard_params(params, mesh)
+            text_cls, adapters0 = replicate((text_cls, adapters0), mesh)
+            base_fn = make_sharded_ttl_fn(clip_cfg, cfg, mesh, tokens=toks,
+                                          n_classes=len(classnames))
+            adapt_fn = lambda p, tc, a0, v, k: base_fn(
+                p, tc, a0, shard_batch(v, mesh), shard_batch(k, mesh))
+            print(f"data-parallel eval over mesh {dict(mesh.shape)}",
+                  flush=True)
+        else:
+            adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
 
     batch_time = AverageMeter("Time", ":6.3f", Summary.NONE)
     top1 = AverageMeter("Acc@1", ":6.2f", Summary.AVERAGE)
