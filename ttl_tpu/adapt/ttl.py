@@ -246,7 +246,9 @@ def make_batched_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
     else:
         fn = adapt_one
     batched = jax.vmap(fn, in_axes=(None, None, None, 0, 0))
-    return jax.jit(batched, donate_argnums=(3,))
+    # note: no buffer donation - the views buffer never matches an output
+    # shape, so donating it only produced XLA warnings
+    return jax.jit(batched)
 
 
 # ------------------------------------------------------------------ TPT mode

@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--max_samples", default=None, type=int,
                    help="cap samples per dataset (smoke runs)")
+    p.add_argument("--mesh_shape", type=list_of_ints, default=None,
+                   help="device mesh, e.g. 8 (data) or 4,2 (data,model); "
+                        "default: all devices on the data axis")
     p.add_argument("--profile", default=None, type=str, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "and print the top device ops")
