@@ -6,9 +6,9 @@ import jax
 import jax.numpy as jnp
 
 from ttl_tpu.adapt.ttl import make_batched_ttl_fn
+from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens
 from ttl_tpu.config import TTLConfig
 from ttl_tpu.models.clip import init_clip_params
-from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens
 from ttl_tpu.models.zoo import TEST_TINY
 from ttl_tpu.ops.lora import init_adapters
 from ttl_tpu.parallel.eval import make_sharded_ttl_fn, sharded_topk_correct
@@ -91,3 +91,23 @@ def test_resnet_params_shard_replicated_on_model_axis():
     placed = shard_params(p, mesh)  # must not raise
     leaves = jax.tree.leaves(placed)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves[:3])
+
+
+def test_tensor_parallel_even_class_count(setup):
+    """Regression: even class counts enable the class-axis text shard; a
+    replicated-input classifier must be accepted (constraint applied
+    inside the jit, not via in_shardings)."""
+    params, _, adapters0, views, keys = setup
+    toks6 = jnp.asarray(prompt_tokens([f"class {i}" for i in range(6)]))
+    text_cls6 = build_text_classifier(params["text"], toks6, TEST_TINY.text,
+                                      compute_dtype=jnp.float32)
+    ref = make_batched_ttl_fn(TEST_TINY, CFG)(
+        params, text_cls6, adapters0, views, keys)
+
+    mesh = make_mesh((4, 2))
+    fn = make_sharded_ttl_fn(TEST_TINY, CFG, mesh, n_classes=6)
+    res = fn(shard_params(params, mesh),
+             *replicate((text_cls6, adapters0), mesh),
+             shard_batch(views, mesh), shard_batch(keys, mesh))
+    np.testing.assert_allclose(np.asarray(res.logits),
+                               np.asarray(ref.logits), rtol=2e-3, atol=2e-3)

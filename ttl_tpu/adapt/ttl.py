@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import optax
 
 from ..config import TTLConfig, effective_update_steps
-from ..models.clip import (CLIPConfig, l2_normalize, text_features,
-                           text_features_from_embeddings, vision_features)
+from ..models.clip import (CLIPConfig, encode_image, l2_normalize,
+                           text_features, text_features_from_embeddings,
+                           vision_features)
 from ..ops.entropy import deyo_loss, select_confident, tpt_loss
 from ..ops.lora import lora_scale
 
@@ -119,7 +120,6 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
             txt = text_cls
         else:  # lora_encoder == 'text': image features frozen, text adapted
             if img_feats is None:
-                from ..models.clip import encode_image
                 img_feats = jax.lax.stop_gradient(
                     encode_image(params["vision"], views, clip_cfg.vision,
                                  compute_dtype=cd))
@@ -165,7 +165,6 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
         # sample and reused by every step (they never change within a sample)
         img_feats = None
         if not on_image:
-            from ..models.clip import encode_image
             img_feats = jax.lax.stop_gradient(
                 encode_image(params["vision"], views, clip_cfg.vision,
                              compute_dtype=cd))
@@ -266,7 +265,6 @@ def make_tpt_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
     k_sel = max(int(cfg.batch_size * cfg.selection_p), 1)
 
     def adapt(params, pl_state, views, key):
-        from ..models.clip import encode_image
         vf = l2_normalize(encode_image(
             params["vision"], views, clip_cfg.vision, compute_dtype=cd))
         ls = jnp.exp(params["logit_scale"])

@@ -240,8 +240,7 @@ def load_pytree(path: str):
             return [listify(node[str(i)]) for i in range(len(node))]
         return {k: listify(v) for k, v in node.items()}
 
-    tree = listify(root)
-    return tree if isinstance(tree, dict) and len(tree) > 1 else tree
+    return listify(root)
 
 
 def load_checkpoint(path: str, cfg: CLIPConfig = None, param_dtype=np.float32):

@@ -122,7 +122,7 @@ class PromptLearnerState:
         (custom_clip.py:394-461: 'end' is the default/live path; 'middle'
         and 'front' re-order ctx around the class-name tokens)."""
         c = self.ctx if ctx is None else ctx
-        n_cls, one, d = self.prefix.shape
+        n_cls = self.prefix.shape[0]
         ctx_block = jnp.broadcast_to(c, (n_cls, *c.shape))
         if self.ctx_position == "end":
             return jnp.concatenate([self.prefix, ctx_block, self.suffix],
@@ -133,7 +133,6 @@ class PromptLearnerState:
         # name_lens (the suffix holds class tokens then EOT/pad).
         half = self.n_ctx // 2
         s_len = self.suffix.shape[1]
-        total = 1 + self.n_ctx + s_len
         out_pos = jnp.arange(self.n_ctx + s_len)  # positions after SOS
 
         def per_class(suffix_c, name_len):

@@ -46,16 +46,20 @@ def make_sharded_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, mesh, *,
     data0 = NamedSharding(mesh, P(DATA_AXIS))
     shard_text = (_has_model_axis(mesh) and n_classes is not None
                   and n_classes % mesh.shape[MODEL_AXIS] == 0)
-    text_spec = NamedSharding(mesh, P(MODEL_AXIS, None)) if shard_text else repl
 
     def with_constraints(params, text_cls, adapters0, views, keys):
         views = jax.lax.with_sharding_constraint(
             views, NamedSharding(mesh, P(DATA_AXIS)))
+        if shard_text:
+            # class-axis shard applied as an internal constraint so callers
+            # may hand in a replicated classifier (GSPMD redistributes)
+            text_cls = jax.lax.with_sharding_constraint(
+                text_cls, NamedSharding(mesh, P(MODEL_AXIS, None)))
         return batched(params, text_cls, adapters0, views, keys)
 
     return jax.jit(
         with_constraints,
-        in_shardings=(None, text_spec, repl, data0, data0),
+        in_shardings=(None, None, repl, data0, data0),
         out_shardings=data0,
     )
 

@@ -78,9 +78,13 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
 
     if dataset is None:
         dataset = build_dataset(set_id, cfg)
+    # multi-host: each process takes a disjoint stride of the shared shuffle
+    # order (DCN-side input split; accuracy then aggregates per host)
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
     loader = SampleLoader(dataset, batch_size=cfg.sample_batch,
                           shuffle=True, seed=cfg.seed,
-                          max_samples=max_samples)
+                          max_samples=max_samples, shard=shard)
 
     view_fn = make_batched_view_fn(
         cfg.batch_size, cfg.resolution,
@@ -92,8 +96,9 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
         p, x, clip_cfg.vision, compute_dtype=cd))
 
     use_prompt = cfg.lora_encoder == "prompt"
-    if cfg.tta_steps > 0 and cfg.lora_encoder == "image" and \
-            not isinstance(clip_cfg.vision, jclip.VisionConfig):
+    if cfg.tta_steps > 0 and cfg.lora_encoder == "image" \
+            and not cfg.cocoop \
+            and not isinstance(clip_cfg.vision, jclip.VisionConfig):
         raise ValueError(
             f"arch {cfg.arch!r} has a ResNet vision tower; image-encoder "
             "LoRA adaptation requires a ViT backbone (as in the reference). "
@@ -122,34 +127,45 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
         adapt_fn = jax.jit(jax.vmap(make_tpt_adapt_fn(clip_cfg, cfg),
                                     in_axes=(None, None, 0, 0)))
         # zero-shot (tta_steps=0) in prompt mode classifies with the
-        # prompt-learner's own (unadapted) ctx prompts
-        text_cls = jclip.l2_normalize(
-            jclip.text_features_from_embeddings(
-                params["text"], pl_state.assemble(pl_state.ctx_init),
-                pl_state.tokenized, clip_cfg.text, compute_dtype=cd))
+        # prompt-learner's own (unadapted) ctx prompts; only needed then
+        text_cls = None
+        if cfg.tta_steps == 0:
+            text_cls = jclip.l2_normalize(
+                jclip.text_features_from_embeddings(
+                    params["text"], pl_state.assemble(pl_state.ctx_init),
+                    pl_state.tokenized, clip_cfg.text, compute_dtype=cd))
     else:
         text_cls = build_text_classifier(
             params["text"], toks, clip_cfg.text,
             compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
             else jnp.float32)
         n_dev = jax.device_count()
-        if n_dev > 1 and cfg.sample_batch % n_dev == 0:
+        if n_dev > 1:
             # multi-chip: shard the sample batch over the data axis (the
             # per-sample programs are independent; one psum-equivalent
             # gather at the end). Results are identical to the
             # single-device vmap (test_parallel).
             from .parallel.eval import make_sharded_ttl_fn
-            from .parallel.mesh import (make_mesh, replicate, shard_batch,
-                                        shard_params)
+            from .parallel.mesh import (DATA_AXIS, make_mesh, replicate,
+                                        shard_batch, shard_params)
             mesh = make_mesh(cfg.mesh_shape)
-            params = shard_params(params, mesh)
-            text_cls, adapters0 = replicate((text_cls, adapters0), mesh)
-            base_fn = make_sharded_ttl_fn(clip_cfg, cfg, mesh, tokens=toks,
-                                          n_classes=len(classnames))
-            adapt_fn = lambda p, tc, a0, v, k: base_fn(
-                p, tc, a0, shard_batch(v, mesh), shard_batch(k, mesh))
-            print(f"data-parallel eval over mesh {dict(mesh.shape)}",
-                  flush=True)
+            if cfg.sample_batch % mesh.shape[DATA_AXIS] == 0:
+                params = shard_params(params, mesh)
+                text_cls, adapters0 = replicate((text_cls, adapters0), mesh)
+                base_fn = make_sharded_ttl_fn(clip_cfg, cfg, mesh,
+                                              tokens=toks,
+                                              n_classes=len(classnames))
+                adapt_fn = lambda p, tc, a0, v, k: base_fn(
+                    p, tc, a0, shard_batch(v, mesh), shard_batch(k, mesh))
+                print(f"data-parallel eval over mesh {dict(mesh.shape)}",
+                      flush=True)
+            else:
+                print(f"WARNING: sample_batch={cfg.sample_batch} is not a "
+                      f"multiple of the data axis ({mesh.shape[DATA_AXIS]}); "
+                      f"falling back to single-device eval - set "
+                      f"--sample_batch to a multiple to use all "
+                      f"{n_dev} devices", flush=True)
+                adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
         else:
             adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
 

@@ -46,6 +46,20 @@ class TTLPredictor:
         if params is None:
             clip_cfg, params = load_model(cfg)
         self.clip_cfg, self.params = clip_cfg, params
+        # same mode validation the runner applies (otherwise unsupported
+        # combos die with opaque KeyErrors at warmup)
+        from .models.clip import VisionConfig
+        if cfg.lora_encoder == "prompt":
+            raise ValueError(
+                "TTLPredictor serves the LoRA modes (lora_encoder="
+                "'image'|'text'); for TPT prompt adaptation use "
+                "ttl_tpu.adapt.make_tpt_adapt_fn / the CLI runner")
+        if cfg.lora_encoder == "image" and not isinstance(clip_cfg.vision,
+                                                          VisionConfig):
+            raise ValueError(
+                f"arch {cfg.arch!r} has a ResNet vision tower; image-encoder "
+                "LoRA adaptation requires a ViT backbone. Use "
+                "lora_encoder='text' or a ViT arch.")
         toks = jnp.asarray(prompt_tokens(
             self.classnames, cfg.ctx_init.replace("_", " ")))
         cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
