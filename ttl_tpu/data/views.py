@@ -62,7 +62,8 @@ class SampleLoader:
     def __init__(self, dataset, batch_size: int = 1, *, shuffle: bool = True,
                  seed: int = 0, canvas: int = DEFAULT_CANVAS,
                  max_samples: Optional[int] = None, prefetch: int = 4,
-                 shard: Optional[Tuple[int, int]] = None):
+                 shard: Optional[Tuple[int, int]] = None,
+                 workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.canvas = canvas
@@ -80,6 +81,7 @@ class SampleLoader:
             order = order[i::n]
         self.order = order
         self.prefetch = prefetch
+        self.workers = workers  # native decoder thread count (ttl.py:388)
 
     def __len__(self):
         return (len(self.order) + self.batch_size - 1) // self.batch_size
@@ -110,7 +112,8 @@ class SampleLoader:
                 sub_c = np.zeros((len(jpegs), self.canvas, self.canvas, 3),
                                  np.uint8)
                 ok = native_decode.decode_batch(
-                    [items[k][0] for k in jpegs], sub_c, sub_h, sub_w)
+                    [items[k][0] for k in jpegs], sub_c, sub_h, sub_w,
+                    n_threads=self.workers)
                 for j, k in enumerate(jpegs):
                     if ok[j]:
                         canv[k] = sub_c[j]

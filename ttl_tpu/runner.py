@@ -84,7 +84,8 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
              if jax.process_count() > 1 else None)
     loader = SampleLoader(dataset, batch_size=cfg.sample_batch,
                           shuffle=True, seed=cfg.seed,
-                          max_samples=max_samples, shard=shard)
+                          max_samples=max_samples, shard=shard,
+                          workers=cfg.workers)
 
     view_fn = make_batched_view_fn(
         cfg.batch_size, cfg.resolution,
