@@ -87,3 +87,14 @@ def test_http_endpoint(predictor):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req, timeout=60)
     assert exc.value.code == 400
+
+
+def test_predictor_validates_modes():
+    from ttl_tpu.models.zoo import get_arch
+
+    with pytest.raises(ValueError, match="ResNet vision tower"):
+        TTLPredictor(["a"], TTLConfig(arch="RN50"), params={},
+                     clip_cfg=get_arch("RN50"), warmup=False)
+    with pytest.raises(ValueError, match="LoRA modes"):
+        TTLPredictor(["a"], TTLConfig(lora_encoder="prompt"), params={},
+                     clip_cfg=get_arch("ViT-B/16"), warmup=False)
