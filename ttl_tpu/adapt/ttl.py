@@ -108,15 +108,21 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
     on_image = cfg.lora_encoder == "image"
 
     def encode_views(params, adapters, views, tokens=None, text_cls=None,
-                     img_feats=None):
-        """Return [V, C] logits for the current adapter state. For
-        lora_encoder='text' the vision tower is frozen, so callers pass the
-        per-sample `img_feats` computed once instead of re-encoding 64 views
-        on every step."""
+                     img_feats=None, hidden=None):
+        """Return [V, C] logits for the current adapter state. Frozen
+        per-sample state is cached by the caller and reused across TTA
+        steps: `hidden` is the prefix activation (layers [0, window[0]),
+        image mode), `img_feats` the full frozen image features (text
+        mode)."""
         if on_image:
-            vf = vision_features(params["vision"], views, clip_cfg.vision,
-                                 adapters=adapters, adapter_window=window,
-                                 lora_scale=scale, compute_dtype=cd)
+            from ..models.clip import vision_from_hidden, vision_prefix
+            if hidden is None:
+                hidden = jax.lax.stop_gradient(vision_prefix(
+                    params["vision"], views, clip_cfg.vision,
+                    upto=window[0], compute_dtype=cd))
+            vf = vision_from_hidden(params["vision"], hidden,
+                                    clip_cfg.vision, adapters=adapters,
+                                    adapter_window=window, lora_scale=scale)
             txt = text_cls
         else:  # lora_encoder == 'text': image features frozen, text adapted
             if img_feats is None:
@@ -161,24 +167,36 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
 
     def adapt_one(params, text_cls, adapters0, views, key,
                   tokens: Optional[jax.Array] = None) -> AdaptResult:
-        # text-mode: the frozen 64-view vision features are encoded ONCE per
-        # sample and reused by every step (they never change within a sample)
+        # Frozen per-sample state, encoded ONCE and reused by every TTA step
+        # (constant within a sample): image mode caches the prefix hidden
+        # state (layers [0, window[0]) over all 64 views); text mode caches
+        # the full frozen image features.
         img_feats = None
-        if not on_image:
+        hidden = None
+        if on_image:
+            from ..models.clip import vision_prefix
+            hidden = jax.lax.stop_gradient(vision_prefix(
+                params["vision"], views, clip_cfg.vision, upto=window[0],
+                compute_dtype=cd))
+        else:
             img_feats = jax.lax.stop_gradient(
                 encode_image(params["vision"], views, clip_cfg.vision,
                              compute_dtype=cd))
 
-        def enc(adapters, v, feats):
+        def enc(adapters, v, feats, hid):
             return encode_views(params, adapters, v, tokens=tokens,
-                                text_cls=text_cls, img_feats=feats)
+                                text_cls=text_cls, img_feats=feats,
+                                hidden=hid)
+
+        def sub(t, sl):
+            return None if t is None else t[sl]
 
         zs_logits = jax.lax.stop_gradient(
-            enc(None, views[:1],
-                None if img_feats is None else img_feats[:1]))[0]
+            enc(None, views[:1], sub(img_feats, slice(0, 1)),
+                sub(hidden, slice(0, 1))))[0]
 
         def loss_fn(adapters, sel_mask, skey):
-            logits = enc(adapters, views, img_feats)
+            logits = enc(adapters, views, img_feats, hidden)
             if use_deyo:
                 loss, aux = deyo_objective(logits, views, adapters, params,
                                            text_cls, tokens, skey)
@@ -195,7 +213,8 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
         else:
             # non-differentiable selection, frozen after the first forward
             # (stop-grad indices in the reference, ttl.py:97-100)
-            logits0 = jax.lax.stop_gradient(enc(adapters0, views, img_feats))
+            logits0 = jax.lax.stop_gradient(
+                enc(adapters0, views, img_feats, hidden))
             _, _, sel_mask = select_confident(logits0, k_sel)
 
         opt_state = opt.init(adapters0)
@@ -220,8 +239,8 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
             step, (adapters0, opt_state), jax.random.split(key, steps))
 
         out = jax.lax.stop_gradient(
-            enc(adapters, views[:1],
-                None if img_feats is None else img_feats[:1]))[0]
+            enc(adapters, views[:1], sub(img_feats, slice(0, 1)),
+                sub(hidden, slice(0, 1))))[0]
         return AdaptResult(logits=out, losses=losses,
                            zero_shot_logits=zs_logits, adapters=adapters)
 

@@ -188,18 +188,14 @@ def _run_layers(stacked: Params, x: jax.Array, lo: int, hi: int, *,
 
 # -------------------------------------------------------------------- towers
 
-def vision_features(p: Params, images: jax.Array, cfg: VisionConfig, *,
-                    adapters: Optional[Params] = None,
-                    adapter_window: Tuple[int, int] = (9, 11),
-                    lora_scale: float = 2.0,
-                    compute_dtype=jnp.bfloat16) -> jax.Array:
-    """Images [B,3,H,W] (CLIP-normalized) -> projected features [B, proj_dim]
-    (f32, unnormalized). Equivalent of HF `get_image_features`
-    (custom_clip.py:62-71).
+def vision_prefix(p: Params, images: jax.Array, cfg: VisionConfig, *,
+                  upto: int, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Patchify + embed + frozen layers [0, upto) -> hidden [B, S, D].
 
-    `adapters`, when given, is the LoRA pytree for layers
-    [adapter_window[0], adapter_window[1]] inclusive; those layers are
-    unrolled so backward only walks the adapted suffix.
+    The frozen prefix is constant across TTA steps within a sample (LoRA
+    there is exactly zero: B init is 0 and those layers are never trained -
+    custom_clip.py:186,596-616), so multi-step adaptation computes it once
+    and feeds `vision_from_hidden` per step.
     """
     b = images.shape[0]
     g, pt = cfg.grid, cfg.patch
@@ -215,17 +211,22 @@ def vision_features(p: Params, images: jax.Array, cfg: VisionConfig, *,
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embed"].astype(compute_dtype)
     x = layer_norm(x, p["ln_pre"], cfg.ln_eps)
+    return _run_layers(p["layers"], x, 0, upto, heads=cfg.heads,
+                       eps=cfg.ln_eps, causal=False)
 
+
+def vision_from_hidden(p: Params, hidden: jax.Array, cfg: VisionConfig, *,
+                       adapters: Optional[Params] = None,
+                       adapter_window: Tuple[int, int] = (9, 11),
+                       lora_scale: float = 2.0) -> jax.Array:
+    """Run layers [adapter_window[0], end) from a cached prefix hidden state
+    and project: the per-TTA-step remainder of the vision tower."""
     lo, hi = adapter_window
+    x = hidden
     if adapters is None:
-        x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
+        x = _run_layers(p["layers"], x, lo, cfg.layers, heads=cfg.heads,
                         eps=cfg.ln_eps, causal=False)
     else:
-        # frozen prefix (LoRA there is exactly zero: B init is 0 and those
-        # layers are never trained - custom_clip.py:186,596-616)
-        x = jax.lax.stop_gradient(
-            _run_layers(p["layers"], x, 0, lo, heads=cfg.heads,
-                        eps=cfg.ln_eps, causal=False))
         for i in range(lo, hi + 1):
             x = encoder_layer(_layer_at(p["layers"], i), x, heads=cfg.heads,
                               eps=cfg.ln_eps, causal=False,
@@ -233,9 +234,35 @@ def vision_features(p: Params, images: jax.Array, cfg: VisionConfig, *,
                               lora_scale=lora_scale)
         x = _run_layers(p["layers"], x, hi + 1, cfg.layers, heads=cfg.heads,
                         eps=cfg.ln_eps, causal=False)
-
     pooled = layer_norm(x[:, 0], p["ln_post"], cfg.ln_eps)
-    return jnp.matmul(pooled.astype(jnp.float32), p["proj"].astype(jnp.float32))
+    return jnp.matmul(pooled.astype(jnp.float32),
+                      p["proj"].astype(jnp.float32))
+
+
+def vision_features(p: Params, images: jax.Array, cfg: VisionConfig, *,
+                    adapters: Optional[Params] = None,
+                    adapter_window: Tuple[int, int] = (9, 11),
+                    lora_scale: float = 2.0,
+                    compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Images [B,3,H,W] (CLIP-normalized) -> projected features [B, proj_dim]
+    (f32, unnormalized). Equivalent of HF `get_image_features`
+    (custom_clip.py:62-71).
+
+    `adapters`, when given, is the LoRA pytree for layers
+    [adapter_window[0], adapter_window[1]] inclusive; those layers are
+    unrolled so backward only walks the adapted suffix.
+    """
+    lo = adapter_window[0] if adapters is not None else cfg.layers
+    hidden = vision_prefix(p, images, cfg, upto=lo,
+                           compute_dtype=compute_dtype)
+    if adapters is None:
+        pooled = layer_norm(hidden[:, 0], p["ln_post"], cfg.ln_eps)
+        return jnp.matmul(pooled.astype(jnp.float32),
+                          p["proj"].astype(jnp.float32))
+    return vision_from_hidden(p, jax.lax.stop_gradient(hidden), cfg,
+                              adapters=adapters,
+                              adapter_window=adapter_window,
+                              lora_scale=lora_scale)
 
 
 def text_features(p: Params, tokens: jax.Array, cfg: TextConfig, *,
