@@ -47,3 +47,23 @@ def test_reset_restores_ctx(tok_embed):
     moved = dataclasses.replace(pl, ctx=pl.ctx + 1.0)
     np.testing.assert_array_equal(np.asarray(moved.reset().ctx),
                                   np.asarray(pl.ctx_init))
+
+
+def test_learned_cls_branch(tok_embed):
+    """learned_cls=True: random 1-token class vectors replace class names
+    (custom_clip.py:301-310); reset restores both ctx and cls."""
+    import jax
+
+    pl = init_prompt_learner(tok_embed, CLASSES, learned_cls=True,
+                             key=jax.random.PRNGKey(5))
+    assert pl.cls.shape == (len(CLASSES), 1, D)
+    out = pl.assemble()
+    assert out.shape == (len(CLASSES), 77, D)
+    # the cls vector sits right after the ctx block
+    np.testing.assert_allclose(np.asarray(out[:, 1 + pl.n_ctx: 2 + pl.n_ctx]),
+                               np.asarray(pl.cls), atol=1e-6)
+    import dataclasses
+    moved = dataclasses.replace(pl, cls=pl.cls + 1.0, ctx=pl.ctx + 1.0)
+    back = moved.reset()
+    np.testing.assert_array_equal(np.asarray(back.cls), np.asarray(pl.cls))
+    np.testing.assert_array_equal(np.asarray(back.ctx), np.asarray(pl.ctx_init))

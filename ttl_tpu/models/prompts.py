@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +115,11 @@ class PromptLearnerState:
     prompt_prefix: str = dataclasses.field(metadata={"static": True})
     ctx_position: str = dataclasses.field(default="end",
                                           metadata={"static": True})
+    # learned_cls=True (custom_clip.py:301-310, the reference's Bongard
+    # configuration): a learnable 1-token class vector replaces the class
+    # name; None in the standard path
+    cls: Optional[jax.Array] = None          # [C, 1, d]
+    cls_init: Optional[jax.Array] = None
 
     def assemble(self, ctx: jax.Array | None = None) -> jax.Array:
         """[C, 77, d] prompt embeddings with the (possibly updated) ctx
@@ -124,6 +129,11 @@ class PromptLearnerState:
         c = self.ctx if ctx is None else ctx
         n_cls = self.prefix.shape[0]
         ctx_block = jnp.broadcast_to(c, (n_cls, *c.shape))
+        if self.cls is not None:
+            # learned_cls: [SOS | ctx | cls | suffix] ('end' position only,
+            # as the reference asserts - custom_clip.py:392-405)
+            return jnp.concatenate(
+                [self.prefix, ctx_block, self.cls, self.suffix], axis=1)
         if self.ctx_position == "end":
             return jnp.concatenate([self.prefix, ctx_block, self.suffix],
                                    axis=1)
@@ -160,34 +170,57 @@ class PromptLearnerState:
         return jnp.concatenate([self.prefix, body], axis=1)
 
     def reset(self) -> "PromptLearnerState":
-        return dataclasses.replace(self, ctx=self.ctx_init)
+        return dataclasses.replace(self, ctx=self.ctx_init,
+                                   cls=self.cls_init)
 
 
 def init_prompt_learner(token_embed: jax.Array, classnames: Sequence[str],
                         ctx_init: str = "a_photo_of_a",
-                        ctx_position: str = "end") -> PromptLearnerState:
+                        ctx_position: str = "end",
+                        learned_cls: bool = False,
+                        key: Optional[jax.Array] = None
+                        ) -> PromptLearnerState:
     """Build the prompt-learner buffers from the (frozen) token embedding
     table. ctx vectors are the embeddings of the init phrase
-    (custom_clip.py:243-269)."""
+    (custom_clip.py:243-269). With `learned_cls`, each class gets a random
+    1-token learnable vector in place of its name ("X" placeholder prompts,
+    custom_clip.py:301-310)."""
     tk = default_tokenizer()
     phrase = ctx_init.replace("_", " ")
     n_ctx = len(phrase.split(" "))
     phrase_ids = tk.encode(phrase)
     assert len(phrase_ids) == n_ctx, "multi-token words unsupported in ctx_init"
 
-    toks = jnp.asarray(prompt_tokens(classnames, phrase))
-    embedding = token_embed[toks]  # [C, 77, d]
+    if learned_cls:
+        prompts = [f"{phrase} X." for _ in classnames]
+        toks = jnp.asarray(tokenize(prompts))
+        embedding = token_embed[toks]
+        n_cls = len(classnames)
+        d = token_embed.shape[-1]
+        cls_vec = 0.02 * jax.random.normal(
+            key if key is not None else jax.random.PRNGKey(0),
+            (n_cls, 1, d), jnp.float32)
+        suffix = embedding[:, 1 + n_ctx + 1:]  # skip the X slot
+        name_lens = jnp.ones((n_cls,), jnp.int32)
+    else:
+        toks = jnp.asarray(prompt_tokens(classnames, phrase))
+        embedding = token_embed[toks]  # [C, 77, d]
+        cls_vec = None
+        suffix = embedding[:, 1 + n_ctx:]
+        name_lens = jnp.asarray([len(tk.encode(c.replace("_", " ")))
+                                 for c in classnames], jnp.int32)
+
     ctx = token_embed[jnp.asarray(phrase_ids)]
-    name_lens = jnp.asarray([len(tk.encode(c.replace("_", " ")))
-                             for c in classnames], jnp.int32)
     return PromptLearnerState(
         ctx=ctx.astype(jnp.float32),
         ctx_init=ctx.astype(jnp.float32),
         prefix=embedding[:, :1],
-        suffix=embedding[:, 1 + n_ctx:],
+        suffix=suffix,
         tokenized=toks,
         name_lens=name_lens,
         n_ctx=n_ctx,
         prompt_prefix=phrase,
         ctx_position=ctx_position,
+        cls=cls_vec,
+        cls_init=cls_vec,
     )
