@@ -288,37 +288,49 @@ def make_tpt_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
             params["vision"], views, clip_cfg.vision, compute_dtype=cd))
         ls = jnp.exp(params["logit_scale"])
 
-        def logits_for(ctx):
-            embs = pl_state.assemble(ctx)
+        # trainable prompt state: ctx always; the learnable class token too
+        # when learned_cls is set (the reference optimizes all
+        # prompt_learner.parameters(), ttl.py:185 + custom_clip.py:301-310)
+        learn_cls = pl_state.cls is not None
+
+        def logits_for(tr):
+            state = pl_state
+            if learn_cls:
+                import dataclasses as _dc
+                state = _dc.replace(pl_state, cls=tr["cls"])
+            embs = state.assemble(tr["ctx"])
             tf = l2_normalize(text_features_from_embeddings(
                 params["text"], embs, pl_state.tokenized, clip_cfg.text,
                 compute_dtype=cd))
             return ls * vf @ tf.T
 
-        zs = jax.lax.stop_gradient(logits_for(pl_state.ctx_init))[0]
+        tr0 = {"ctx": pl_state.ctx_init}
+        if learn_cls:
+            tr0["cls"] = pl_state.cls_init
 
-        def loss_fn(ctx, sel_mask):
-            return tpt_loss(logits_for(ctx), sel_mask), None
+        zs = jax.lax.stop_gradient(logits_for(tr0))[0]
 
-        ctx0 = pl_state.ctx_init
-        opt_state = opt.init(ctx0)
+        def loss_fn(tr, sel_mask):
+            return tpt_loss(logits_for(tr), sel_mask), None
+
+        opt_state = opt.init(tr0)
 
         def step(carry, _):
-            ctx, opt_state, sel_mask, is_first = carry
-            logits = jax.lax.stop_gradient(logits_for(ctx))
+            tr, opt_state, sel_mask, is_first = carry
+            logits = jax.lax.stop_gradient(logits_for(tr))
             _, _, new_mask = select_confident(logits, k_sel)
             sel_mask = jnp.where(is_first, new_mask, sel_mask)
             (loss, _), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(ctx, sel_mask)
-            updates, opt_state = opt.update(grads, opt_state, ctx)
-            ctx = optax.apply_updates(ctx, updates)
-            return (ctx, opt_state, sel_mask, jnp.zeros((), bool)), loss
+                loss_fn, has_aux=True)(tr, sel_mask)
+            updates, opt_state = opt.update(grads, opt_state, tr)
+            tr = optax.apply_updates(tr, updates)
+            return (tr, opt_state, sel_mask, jnp.zeros((), bool)), loss
 
-        (ctx, _, _, _), losses = jax.lax.scan(
-            step, (ctx0, opt_state, jnp.ones((cfg.batch_size,), bool),
+        (tr, _, _, _), losses = jax.lax.scan(
+            step, (tr0, opt_state, jnp.ones((cfg.batch_size,), bool),
                    jnp.ones((), bool)), None, length=steps)
-        out = jax.lax.stop_gradient(logits_for(ctx))[0]
+        out = jax.lax.stop_gradient(logits_for(tr))[0]
         return AdaptResult(logits=out, losses=losses, zero_shot_logits=zs,
-                           adapters={}), ctx
+                           adapters={}), tr["ctx"]
 
     return adapt

@@ -34,6 +34,22 @@ class SampleBatch:
     pad: int = 0           # trailing entries that are padding (last batch)
 
 
+def place_on_canvas(canvas_row: np.ndarray, img: np.ndarray
+                    ) -> Tuple[int, int]:
+    """Place an [H,W,3] uint8 image onto a square canvas row (top-left),
+    downscaling (never upscaling) to fit. Returns the placed (h, w)."""
+    canvas = canvas_row.shape[0]
+    h, w = img.shape[:2]
+    if max(h, w) > canvas:
+        s = canvas / max(w, h)
+        w2, h2 = max(1, round(w * s)), max(1, round(h * s))
+        img = np.asarray(Image.fromarray(img).resize((w2, h2),
+                                                     Image.BICUBIC))
+        h, w = h2, w2
+    canvas_row[:h, :w] = img
+    return h, w
+
+
 def load_canvas(path: str, canvas: int = DEFAULT_CANVAS
                 ) -> Tuple[np.ndarray, int, int]:
     """Decode to RGB uint8, downscale to fit the canvas if needed, zero-pad."""
@@ -129,15 +145,7 @@ class SampleLoader:
             if isinstance(item, str):
                 canv[k], hs[k], ws[k] = load_canvas(item, self.canvas)
             else:  # in-memory [H,W,3] uint8 (tests/bench datasets)
-                h, w = item.shape[:2]
-                if max(h, w) > self.canvas:
-                    img = Image.fromarray(item)
-                    s = self.canvas / max(w, h)
-                    w2, h2 = max(1, round(w * s)), max(1, round(h * s))
-                    item = np.asarray(img.resize((w2, h2), Image.BICUBIC))
-                    h, w = h2, w2
-                canv[k, :h, :w] = item
-                hs[k], ws[k] = h, w
+                hs[k], ws[k] = place_on_canvas(canv[k], item)
             labels[k] = label
             indices[k] = i
         return SampleBatch(canv, hs, ws, labels, indices,

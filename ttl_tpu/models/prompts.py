@@ -191,6 +191,9 @@ def init_prompt_learner(token_embed: jax.Array, classnames: Sequence[str],
     phrase_ids = tk.encode(phrase)
     assert len(phrase_ids) == n_ctx, "multi-token words unsupported in ctx_init"
 
+    if learned_cls and ctx_position != "end":
+        # the reference asserts the same restriction (custom_clip.py:392-393)
+        raise ValueError("learned_cls requires ctx_position='end'")
     if learned_cls:
         prompts = [f"{phrase} X." for _ in classnames]
         toks = jnp.asarray(tokenize(prompts))

@@ -71,20 +71,26 @@ def make_adapters0(cfg: TTLConfig, clip_cfg):
 
 def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                      adapters0, *, dataset=None,
-                     max_samples: Optional[int] = None) -> List[float]:
+                     max_samples: Optional[int] = None,
+                     prompt_ckpt: Optional[dict] = None) -> List[float]:
     """One dataset: returns [top1, top5] percentages (ttl.py:300-363)."""
     classnames = resolve_classnames(set_id)
     toks = jnp.asarray(prompt_tokens(classnames, cfg.ctx_init.replace("_", " ")))
 
     if dataset is None:
         dataset = build_dataset(set_id, cfg)
-    # multi-host: each process takes a disjoint stride of the shared shuffle
-    # order (DCN-side input split; accuracy then aggregates per host)
-    shard = ((jax.process_index(), jax.process_count())
-             if jax.process_count() > 1 else None)
+    if jax.process_count() > 1:
+        # Full multi-host eval (per-host input shards + cross-host metric
+        # reduction + make_array_from_process_local_data placement) is not
+        # wired yet; SampleLoader(shard=...) and parallel.eval expose the
+        # pieces. Refuse rather than silently double-count every sample on
+        # every host.
+        raise NotImplementedError(
+            "multi-host evaluation is not supported yet; run one process "
+            "(single host) - multi-chip single-host DP/TP works")
     loader = SampleLoader(dataset, batch_size=cfg.sample_batch,
                           shuffle=True, seed=cfg.seed,
-                          max_samples=max_samples, shard=shard,
+                          max_samples=max_samples,
                           workers=cfg.workers)
 
     view_fn = make_batched_view_fn(
@@ -104,7 +110,7 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             f"arch {cfg.arch!r} has a ResNet vision tower; image-encoder "
             "LoRA adaptation requires a ViT backbone (as in the reference). "
             "Use --lora_encoder prompt|text or --tta_steps 0.")
-    prompt_sd = (load_prompt_state_dict(cfg.load) if cfg.load else None)
+    prompt_sd = prompt_ckpt
     use_cocoop = cfg.cocoop
     if use_cocoop:
         from .adapt.cocoop import init_cocoop, make_cocoop_adapt_fn
@@ -245,13 +251,23 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
     adapters0 = (None if cfg.lora_encoder == "prompt"
                  else make_adapters0(cfg, clip_cfg))
 
+    prompt_ckpt = None
+    if cfg.load:
+        if cfg.cocoop or cfg.lora_encoder == "prompt":
+            prompt_ckpt = load_prompt_state_dict(cfg.load)
+        else:
+            print(f"WARNING: --load {cfg.load} is a CoOp/CoCoOp prompt "
+                  "checkpoint and has no effect in the LoRA modes "
+                  "(lora_encoder=image|text); ignoring it, as the reference "
+                  "does", flush=True)
+
     results: Dict[str, List[float]] = {}
     for set_id in cfg.test_sets.split("/"):
         print(f"evaluating: {set_id}", flush=True)
         ds = datasets.get(set_id) if datasets else None
         results[set_id] = evaluate_dataset(
             set_id, cfg, clip_cfg, params, adapters0, dataset=ds,
-            max_samples=max_samples)
+            max_samples=max_samples, prompt_ckpt=prompt_ckpt)
         print("=> Acc. on testset [{}]: @1 {:.2f}/ @5 {:.2f}".format(
             set_id, results[set_id][0], results[set_id][1]), flush=True)
 

@@ -70,26 +70,18 @@ class TTLPredictor:
                                             out_dtype=cd)
         self.adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
         self._canvas = 512
-        self._step = 0
         if warmup:
             self.predict([np.zeros((64, 64, 3), np.uint8)])
 
     def _batch(self, images: Sequence[np.ndarray]):
+        from .data.views import place_on_canvas
+
         s = self.cfg.sample_batch
         canv = np.zeros((s, self._canvas, self._canvas, 3), np.uint8)
         hs = np.full((s,), 1, np.int32)
         ws = np.full((s,), 1, np.int32)
         for i, img in enumerate(images):
-            h, w = img.shape[:2]
-            if max(h, w) > self._canvas:
-                from PIL import Image
-                sc = self._canvas / max(h, w)
-                im = Image.fromarray(img).resize(
-                    (max(1, round(w * sc)), max(1, round(h * sc))))
-                img = np.asarray(im)
-                h, w = img.shape[:2]
-            canv[i, :h, :w] = img
-            hs[i], ws[i] = h, w
+            hs[i], ws[i] = place_on_canvas(canv[i], img)
         return canv, hs, ws
 
     def predict(self, images: Sequence[np.ndarray], *,
@@ -100,10 +92,12 @@ class TTLPredictor:
         for start in range(0, len(images), s):
             chunk = list(images[start: start + s])
             canv, hs, ws = self._batch(chunk)
+            # deterministic per-position keys: the same image always gets the
+            # same views, so predictions are reproducible and independent of
+            # request history (episodic adaptation is stateless by design)
             keys = jax.vmap(lambda i: jax.random.fold_in(
                 jax.random.PRNGKey(self.cfg.seed), i))(
-                jnp.arange(self._step, self._step + s, dtype=jnp.uint32))
-            self._step += s
+                jnp.arange(s, dtype=jnp.uint32))
             views = self.view_fn(jnp.asarray(canv), jnp.asarray(hs),
                                  jnp.asarray(ws), keys)
             res = self.adapt_fn(self.params, self.text_cls, self.adapters0,
