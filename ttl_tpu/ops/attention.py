@@ -39,10 +39,12 @@ def use_fused() -> bool:
 
     Default OFF: measured on v5e at ViT-B shapes (64x12 heads, seq 197) the
     per-(batch*head) kernel grid is ~30% slower than XLA's batched-GEMM
-    einsum attention - at this sequence length XLA's batching wins over
-    avoiding the HBM score round-trip. The kernel is numerically exact
-    (diff 0.0 on-chip) and available via TTL_FUSED_ATTENTION=1 for shapes
-    where the trade flips (longer sequences / larger heads)."""
+    einsum attention; G-instances-per-program and in-kernel batched-dot
+    reformulations narrowed that to ~15% but still lose - at this sequence
+    length XLA's batching wins over avoiding the HBM score round-trip.
+    The kernel is numerically exact (diff 0.0 on-chip) and available via
+    TTL_FUSED_ATTENTION=1 for shapes where the trade flips (longer
+    sequences / larger heads)."""
     import os
     return os.environ.get("TTL_FUSED_ATTENTION") in ("1", "true", "True")
 
