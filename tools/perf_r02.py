@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Round-2 perf sweep on the real TPU chip.
+
+Measures adapted samples/sec/chip for the 64-view TTL step across variants:
+
+  base         round-1 path: two dispatches (view_fn, adapt_fn) + key fold
+  fused        one fused program per batch (view gen + adapt + count)
+  fused_mixed  fused + TTL_LORA_COMPUTE=mixed (bf16-in/f32-acc LoRA GEMMs)
+  S sweep / pipeline depth via flags
+
+Usage: python tools/perf_r02.py <variant> [--s N] [--depth N] [--classes N]
+Each variant runs in its own process (env-dependent trace-time knobs).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variant", choices=["base", "fused", "fused_mixed"])
+    ap.add_argument("--s", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--classes", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.variant == "fused_mixed":
+        os.environ["TTL_LORA_COMPUTE"] = "mixed"
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ttl_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import pathlib
+
+    from ttl_tpu.adapt.ttl import (make_batched_ttl_fn, make_fused_ttl_fn,
+                                   sample_key)
+    from ttl_tpu.config import TTLConfig
+    from ttl_tpu.models.clip import init_clip_params
+    from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens
+    from ttl_tpu.models.zoo import get_arch
+    from ttl_tpu.ops.image import make_batched_view_fn
+    from ttl_tpu.ops.lora import init_adapters
+    from ttl_tpu.parallel.eval import make_count_fn
+
+    S = args.s
+    cfg = TTLConfig(sample_batch=S)
+    clip_cfg = get_arch(cfg.arch)
+    params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
+                              param_dtype=jnp.bfloat16)
+    names = json.loads(
+        (pathlib.Path(__file__).parent.parent / "ttl_tpu" / "data" /
+         "assets" / "imagenet_classnames.json").read_text())
+    toks = jnp.asarray(prompt_tokens(names[:args.classes]))
+    text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
+    n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
+    adapters0 = init_adapters(jax.random.PRNGKey(1), n_window,
+                              clip_cfg.vision.hidden, cfg.rank,
+                              cfg.init_method)
+
+    rng = np.random.RandomState(0)
+    canv = (rng.rand(S, 512, 512, 3) * 255).astype(np.uint8)
+    hs = np.full((S,), 375, np.int32)
+    ws = np.full((S,), 500, np.int32)
+    labels = rng.randint(0, args.classes, size=S).astype(np.int32)
+    valid = np.ones((S,), bool)
+    count_fn = make_count_fn()
+
+    if args.variant == "base":
+        view_fn = make_batched_view_fn(cfg.batch_size, cfg.resolution)
+        adapt_fn = make_batched_ttl_fn(clip_cfg, cfg)
+        root = jax.random.PRNGKey(cfg.seed)
+
+        def step(i):
+            idxs = jnp.asarray(np.arange(S, dtype=np.uint32) + i * S)
+            keys = jax.vmap(lambda ix: jax.random.fold_in(root, ix))(idxs)
+            views = view_fn(jnp.asarray(canv), jnp.asarray(hs),
+                            jnp.asarray(ws), keys)
+            res = adapt_fn(params, text_cls, adapters0, views, keys)
+            return count_fn(res.logits, labels, valid)
+    else:
+        fused = make_fused_ttl_fn(clip_cfg, cfg)
+
+        def step(i):
+            idxs = np.arange(S, dtype=np.int32) + i * S
+            res = fused(params, text_cls, adapters0, canv, hs, ws, idxs)
+            return count_fn(res.logits, labels, valid)
+
+    # pipelined at the requested depth (fetch of batch i-depth overlaps
+    # compute of batch i); counts [3] is the only fetch, as in the runner
+    for i in range(2):
+        np.asarray(step(i))
+    t0 = time.time()
+    pending = []
+    for i in range(args.iters):
+        pending.append(step(100 + i))
+        if len(pending) > args.depth:
+            np.asarray(pending.pop(0))
+    for p in pending:
+        np.asarray(p)
+    dt = (time.time() - t0) / args.iters
+    sps = S / dt
+    print(json.dumps({
+        "variant": args.variant, "s": S, "depth": args.depth,
+        "classes": args.classes,
+        "samples_per_sec": round(sps, 2),
+        "ms_per_sample": round(1000.0 / sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

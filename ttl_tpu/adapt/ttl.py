@@ -269,6 +269,152 @@ def make_batched_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
     return jax.jit(batched)
 
 
+def _make_view_fn_for(cfg: TTLConfig):
+    from ..ops.image import make_view_fn
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return make_view_fn(cfg.batch_size, cfg.resolution,
+                        aug_ops=cfg.aug_ops, severity=cfg.aug_severity,
+                        out_dtype=cd)
+
+
+def _jit_fused(batched, n_state: int, mesh=None, extra_constraint=None):
+    """jit a fused step f(params, *state, canvases, hs, ws, idxs).
+
+    mesh=None: plain single-device jit. With a mesh: the trailing 4 sample
+    args shard over the data axis, leading state args keep their existing
+    placement (the runner pre-places params via shard_params / replicate),
+    and outputs shard over data. GSPMD inserts all collectives.
+    """
+    if mesh is None:
+        return jax.jit(batched)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+    data0 = NamedSharding(mesh, P(DATA_AXIS))
+    fn = batched
+    if extra_constraint is not None:
+        def fn(*args):
+            return batched(*extra_constraint(*args))
+    return jax.jit(fn,
+                   in_shardings=(None,) * (1 + n_state) + (data0,) * 4,
+                   out_shardings=data0)
+
+
+def sample_key(seed: int, idx: jax.Array) -> jax.Array:
+    """Per-sample PRNG key, keyed on the dataset position so views (and the
+    PLPD draw) are deterministic for a sample regardless of batch
+    composition, host assignment, or sample_batch."""
+    return jax.random.fold_in(jax.random.PRNGKey(seed), idx)
+
+
+def make_fused_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
+                      tokens: Optional[jax.Array] = None,
+                      mesh=None, n_classes: Optional[int] = None):
+    """View generation + episodic adaptation as ONE jit'd program.
+
+    The round-1 runner dispatched two programs per batch (device-side view
+    expansion, then the adaptation step) plus a key-fold dispatch; fusing
+    removes the dispatch round trips and the [S,V,3,H,W] HBM round trip of
+    the views buffer, and lets XLA overlap view sampling with the
+    frozen-prefix compute.
+
+    Returns f(params, text_cls, adapters0, canvases[S,C,C,3]u8, hs[S],
+    ws[S], idxs[S]) -> AdaptResult with leading S axis; idxs are dataset
+    positions, turned into per-sample keys via `sample_key(cfg.seed, idx)`.
+    Numerics are identical to make_batched_view_fn + make_batched_ttl_fn
+    with the same keys (the key feeds the same sub-streams).
+
+    With a mesh, the sample axis shards over the data axis and (given a
+    model axis plus a divisible `n_classes`) the text classifier's class
+    axis shards over the model axis.
+    """
+    view_fn = _make_view_fn_for(cfg)
+    adapt_one = make_ttl_adapt_fn(clip_cfg, cfg)
+    toks = tokens if cfg.lora_encoder == "text" else None
+
+    def one(params, text_cls, adapters0, canvas, h, w, idx):
+        key = sample_key(cfg.seed, idx)
+        views = view_fn(canvas, h, w, key)
+        return adapt_one(params, text_cls, adapters0, views, key,
+                         tokens=toks)
+
+    batched = jax.vmap(one, in_axes=(None, None, None, 0, 0, 0, 0))
+
+    constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import MODEL_AXIS, _has_model_axis
+        if (_has_model_axis(mesh) and n_classes is not None
+                and n_classes % mesh.shape[MODEL_AXIS] == 0):
+            tc_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
+
+            def constraint(params, text_cls, *rest):
+                text_cls = jax.lax.with_sharding_constraint(text_cls, tc_sh)
+                return (params, text_cls) + rest
+
+    return _jit_fused(batched, 2, mesh, constraint)
+
+
+def make_fused_tpt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *, mesh=None):
+    """Fused view-gen + TPT prompt adaptation (lora_encoder='prompt').
+
+    f(params, pl_state, canvases, hs, ws, idxs) -> (AdaptResult, ctx[S,...]).
+    Data-parallel over the sample axis when a mesh is given (the per-sample
+    programs are independent, exactly as in the LoRA path).
+    """
+    view_fn = _make_view_fn_for(cfg)
+    adapt_one = make_tpt_adapt_fn(clip_cfg, cfg)
+
+    def one(params, pl_state, canvas, h, w, idx):
+        key = sample_key(cfg.seed, idx)
+        return adapt_one(params, pl_state, view_fn(canvas, h, w, key), key)
+
+    batched = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0))
+    return _jit_fused(batched, 1, mesh)
+
+
+def make_fused_cocoop_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *, mesh=None):
+    """Fused view-gen + CoCoOp ctx adaptation (--cocoop).
+
+    f(params, co_state, canvases, hs, ws, idxs) -> CoCoOpResult[S].
+    """
+    from .cocoop import make_cocoop_adapt_fn
+    view_fn = _make_view_fn_for(cfg)
+    adapt_one = make_cocoop_adapt_fn(clip_cfg, cfg)
+
+    def one(params, co_state, canvas, h, w, idx):
+        key = sample_key(cfg.seed, idx)
+        return adapt_one(params, co_state, view_fn(canvas, h, w, key), key)
+
+    batched = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0))
+    return _jit_fused(batched, 1, mesh)
+
+
+def make_fused_zeroshot_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
+                           mesh=None):
+    """Fused center-view preprocess + zero-shot classification
+    (tta_steps=0; the reference's plain CLIP eval path, ttl.py:243-248).
+
+    f(params, text_cls, canvases, hs, ws, idxs) -> logits [S, C]. idxs are
+    accepted for signature uniformity with the adapt paths (no RNG is
+    consumed - the eval view is deterministic).
+    """
+    from ..models.clip import encode_image, l2_normalize
+    from ..ops.image import preprocess_center
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def batched(params, text_cls, canvases, hs, ws, idxs):
+        views = jax.vmap(
+            lambda c, h, w: preprocess_center(c, h, w, cfg.resolution,
+                                              out_dtype=cd))(canvases, hs, ws)
+        vf = l2_normalize(encode_image(params["vision"], views,
+                                       clip_cfg.vision, compute_dtype=cd))
+        return jnp.exp(params["logit_scale"]) * vf @ text_cls.T
+
+    return _jit_fused(batched, 1, mesh)
+
+
 # ------------------------------------------------------------------ TPT mode
 
 def make_tpt_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):

@@ -51,8 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--images_per_class", default=d.images_per_class, type=int)
     p.add_argument("--layer_range", type=list_of_ints, default=d.layer_range)
     p.add_argument("--init_method", default=d.init_method,
+                   type=lambda s: None if s in ("None", "none") else s,
                    choices=["xavier", "gaussian", "kaiming", "pretrained",
-                            None])
+                            None],
+                   help="LoRA A init; 'None' selects the reference's "
+                        "None branch (== xavier, custom_clip.py:184)")
     p.add_argument("--lora_encoder", default=d.lora_encoder,
                    choices=["text", "image", "prompt"])
     p.add_argument("--rank", default=d.rank, type=int)
@@ -72,6 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter_plpd", default=d.filter_plpd, type=int)
     p.add_argument("--reweight_ent", default=d.reweight_ent, type=int)
     p.add_argument("--reweight_plpd", default=d.reweight_plpd, type=int)
+
+    # AugMix view chains (reference aug_list, datautils.py:110-138; the
+    # reference hardcodes aug_list=[] - this flag exposes the shipped-but-
+    # disabled capability)
+    p.add_argument("--aug_list", dest="aug_ops", default=d.aug_ops,
+                   type=lambda s: tuple(x for x in s.split(",") if x),
+                   help="comma-separated AugMix ops (e.g. autocontrast,"
+                        "equalize,posterize); empty (default) = crop+flip "
+                        "views only, matching the reference")
+    p.add_argument("--aug_severity", default=d.aug_severity, type=int)
 
     # TPU-native extensions
     p.add_argument("--sample_batch", default=d.sample_batch, type=int,

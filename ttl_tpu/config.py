@@ -64,6 +64,15 @@ class TTLConfig:
     reweight_ent: int = 1                    # default ON: coeff = exp(-(ent - e0))
     reweight_plpd: int = 0
 
+    # --- AugMix view chains (reference: data/datautils.py:110-138).
+    # The reference ships with aug_list=[] in both branches (the
+    # `augmentations.augmentations` import is commented out), so the default
+    # view is crop+flip only; a non-empty tuple of op names from
+    # ttl_tpu.ops.augmix.AUG_OPS enables the 3-chain Dirichlet/Beta AugMix
+    # mixing over those ops, matching augmix(x, preprocess, aug_list, severity)
+    aug_ops: Tuple[str, ...] = ()
+    aug_severity: int = 1                    # datautils.py:126 severity=1
+
     # --- TPU-native extensions (no reference equivalent)
     # samples adapted concurrently (vmap). Per-sample results are identical
     # for any value (episodic adaptation is independent by construction);

@@ -79,7 +79,7 @@ class SampleLoader:
                  seed: int = 0, canvas: int = DEFAULT_CANVAS,
                  max_samples: Optional[int] = None, prefetch: int = 4,
                  shard: Optional[Tuple[int, int]] = None,
-                 workers: int = 4):
+                 workers: int = 4, total_batches: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.canvas = canvas
@@ -98,9 +98,16 @@ class SampleLoader:
         self.order = order
         self.prefetch = prefetch
         self.workers = workers  # native decoder thread count (ttl.py:388)
+        # multi-host: every process must execute the SAME number of device
+        # dispatches (the sharded step is a collective program). When host
+        # shards are uneven, short hosts emit trailing all-padding batches
+        # up to the globally agreed count.
+        self._own_batches = (len(self.order) + batch_size - 1) // batch_size
+        self.total_batches = (self._own_batches if total_batches is None
+                              else max(total_batches, self._own_batches))
 
     def __len__(self):
-        return (len(self.order) + self.batch_size - 1) // self.batch_size
+        return self.total_batches
 
     @property
     def num_samples(self):
@@ -160,6 +167,8 @@ class SampleLoader:
             try:
                 for s in range(0, len(self.order), self.batch_size):
                     q.put(self._make_batch(self.order[s: s + self.batch_size]))
+                for _ in range(self.total_batches - self._own_batches):
+                    q.put(self._make_batch([]))  # all-padding filler batch
             except BaseException as e:  # surface decode errors to the caller
                 failure.append(e)
             finally:

@@ -113,6 +113,14 @@ def _attention(q, k, v, heads: int, causal: bool):
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
+def _lora_compute_mode() -> str:
+    """LoRA GEMM precision: 'f32' (upcast activations, round-1 default) or
+    'mixed' (bf16 inputs, f32 accumulation, f32 rank-r intermediate).
+    Experiment knob read at trace time; see encoder_layer."""
+    import os
+    return os.environ.get("TTL_LORA_COMPUTE", "f32")
+
+
 def fuse_qkv_params(tower: Params) -> Params:
     """Rewrite a tower's stacked layers to a single fused qkv projection
     ([L, D, 3D]) - one matmul instead of three. Pure layout transform;
@@ -154,9 +162,22 @@ def encoder_layer(p: Params, x: jax.Array, *, heads: int, eps: float,
         k = linear(h, p["attn"]["k"])
         v = linear(h, p["attn"]["v"])
     if lora is not None:
-        hf = h.astype(jnp.float32)
-        q = q + (lora_scale * (hf @ lora["q"]["A"]) @ lora["q"]["B"]).astype(q.dtype)
-        v = v + (lora_scale * (hf @ lora["v"]["A"]) @ lora["v"]["B"]).astype(v.dtype)
+        if _lora_compute_mode() == "mixed":
+            # h is already bf16 (LN output cast back), so upcasting it to
+            # f32 adds no information - it only materializes a [B,S,D] f32
+            # copy to HBM. Feed the GEMM bf16 inputs with f32 accumulation
+            # and keep the tiny rank-r intermediate in f32.
+            def _lo(ad):
+                t = jnp.matmul(h, ad["A"].astype(h.dtype),
+                               preferred_element_type=jnp.float32)
+                return lora_scale * jnp.matmul(
+                    t, ad["B"], preferred_element_type=jnp.float32)
+            q = q + _lo(lora["q"]).astype(q.dtype)
+            v = v + _lo(lora["v"]).astype(v.dtype)
+        else:
+            hf = h.astype(jnp.float32)
+            q = q + (lora_scale * (hf @ lora["q"]["A"]) @ lora["q"]["B"]).astype(q.dtype)
+            v = v + (lora_scale * (hf @ lora["v"]["A"]) @ lora["v"]["B"]).astype(v.dtype)
     a = _attention(q, k, v, heads, causal)
     x = x + linear(a, p["attn"]["o"])
     h = layer_norm(x, p["ln2"], eps)

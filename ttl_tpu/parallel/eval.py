@@ -75,3 +75,29 @@ def sharded_topk_correct(logits: jax.Array, labels: jax.Array,
     _, pred = jax.lax.top_k(logits.astype(jnp.float32), ks)
     hit = pred == labels[:, None]
     return jnp.stack([jnp.sum(jnp.any(hit[:, :k], axis=1)) for k in topk])
+
+
+def make_count_fn(mesh=None, topk=(1, 5)):
+    """jit'd (logits[S,C], labels[S], valid[S]) -> [len(topk)+1] int32:
+    per-k correct counts over the valid rows plus the valid count itself.
+
+    This is the runner's live metrics path: the reduction over the (possibly
+    data-sharded, possibly multi-host) sample axis compiles to the one psum
+    the TPU design needs (SURVEY.md section 5); the replicated [3] result is
+    addressable on every host.
+    """
+    ks = max(topk)
+
+    def counts(logits, labels, valid):
+        _, pred = jax.lax.top_k(logits.astype(jnp.float32), ks)
+        hit = (pred == labels[:, None]) & valid[:, None]
+        per_k = [jnp.sum(jnp.any(hit[:, :k], axis=1), dtype=jnp.int32)
+                 for k in topk]
+        return jnp.stack(per_k + [jnp.sum(valid, dtype=jnp.int32)])
+
+    if mesh is None:
+        return jax.jit(counts)
+    repl = NamedSharding(mesh, P())
+    data0 = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(counts, in_shardings=(None, data0, data0),
+                   out_shardings=repl)

@@ -3,10 +3,17 @@
 TPU-native equivalent of the reference's main_worker + test_time_adapt_eval
 (ttl.py:121-363): per set_id it resolves classnames/masks, builds the text
 classifier once (the reference re-encodes it every forward - SURVEY.md
-section 5), streams test samples through the host loader, expands each into
-the 64-view batch on device, runs the episodic TTL program (vmapped over
-`sample_batch` concurrent samples), and tracks Top-1/Top-5 with the same
-meter output format.
+section 5), streams test samples through the host loader, and dispatches ONE
+fused jit program per batch (64-view expansion + episodic adaptation +
+adapted inference, vmapped over `sample_batch` concurrent samples). Top-1/
+Top-5 counts are reduced on device (parallel.eval.make_count_fn - the psum
+under a data mesh) and tracked with the reference's meter output format.
+
+Multi-chip: every adaptation mode (LoRA, TPT-prompt, CoCoOp, zero-shot)
+shards the sample batch over the mesh's data axis. Multi-host: each process
+loads its own shard of the shuffled sample order, batches assemble into
+global arrays via make_array_from_process_local_data, and the metric
+reduction crosses hosts inside the jit program.
 """
 from __future__ import annotations
 
@@ -17,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .adapt.ttl import make_batched_ttl_fn, make_tpt_adapt_fn
 from .config import TTLConfig
 from .data.classnames import resolve_classnames
 from .data.registry import build_dataset
@@ -28,10 +34,9 @@ from .models.convert import load_checkpoint
 from .models.prompts import (build_text_classifier, init_prompt_learner,
                              prompt_tokens)
 from .models.zoo import get_arch
-from .ops.image import make_batched_view_fn
 from .ops.lora import init_adapters
 from .utils.checkpoint import load_prompt_state_dict
-from .utils.meters import AverageMeter, ProgressMeter, Summary, accuracy
+from .utils.meters import AverageMeter, ProgressMeter, Summary
 
 
 def load_model(cfg: TTLConfig):
@@ -79,28 +84,50 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
 
     if dataset is None:
         dataset = build_dataset(set_id, cfg)
-    if jax.process_count() > 1:
-        # Full multi-host eval (per-host input shards + cross-host metric
-        # reduction + make_array_from_process_local_data placement) is not
-        # wired yet; SampleLoader(shard=...) and parallel.eval expose the
-        # pieces. Refuse rather than silently double-count every sample on
-        # every host.
-        raise NotImplementedError(
-            "multi-host evaluation is not supported yet; run one process "
-            "(single host) - multi-chip single-host DP/TP works")
-    loader = SampleLoader(dataset, batch_size=cfg.sample_batch,
-                          shuffle=True, seed=cfg.seed,
-                          max_samples=max_samples,
-                          workers=cfg.workers)
-
-    view_fn = make_batched_view_fn(
-        cfg.batch_size, cfg.resolution,
-        out_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32)
 
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    _zero_shot_encode = jax.jit(lambda p, x: jclip.encode_image(
-        p, x, clip_cfg.vision, compute_dtype=cd))
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+
+    # --- mesh: every mode shards the sample batch over the data axis (the
+    # per-sample episodic programs are independent by construction; the one
+    # cross-chip collective is the metric psum in make_count_fn)
+    mesh = None
+    if jax.device_count() > 1:
+        from .parallel.mesh import DATA_AXIS, make_mesh
+        m = make_mesh(cfg.mesh_shape)
+        if cfg.sample_batch % m.shape[DATA_AXIS] == 0:
+            mesh = m
+            if is_main:
+                print(f"data-parallel eval over mesh {dict(m.shape)}",
+                      flush=True)
+        else:
+            if n_proc > 1:
+                raise ValueError(
+                    f"multi-host eval requires sample_batch "
+                    f"({cfg.sample_batch}) to be a multiple of the data "
+                    f"axis ({m.shape[DATA_AXIS]})")
+            print(f"WARNING: sample_batch={cfg.sample_batch} is not a "
+                  f"multiple of the data axis ({m.shape[DATA_AXIS]}); "
+                  f"falling back to single-device eval - set "
+                  f"--sample_batch to a multiple to use all "
+                  f"{jax.device_count()} devices", flush=True)
+
+    # --- loader: per-host input shard of the (seed-shared) shuffled order;
+    # every host executes the same number of dispatches (filler batches are
+    # all-padding and masked out of the metrics)
+    local_bs = cfg.sample_batch // n_proc if n_proc > 1 else cfg.sample_batch
+    if n_proc > 1 and cfg.sample_batch % n_proc != 0:
+        raise ValueError(f"sample_batch ({cfg.sample_batch}) must be a "
+                         f"multiple of process_count ({n_proc})")
+    n_total = len(dataset) if max_samples is None \
+        else min(len(dataset), max_samples)
+    loader = SampleLoader(
+        dataset, batch_size=local_bs, shuffle=True, seed=cfg.seed,
+        max_samples=max_samples, workers=cfg.workers,
+        shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
+        total_batches=((n_total + cfg.sample_batch - 1) // cfg.sample_batch
+                       if n_proc > 1 else None))
 
     use_prompt = cfg.lora_encoder == "prompt"
     if cfg.tta_steps > 0 and cfg.lora_encoder == "image" \
@@ -112,8 +139,23 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             "Use --lora_encoder prompt|text or --tta_steps 0.")
     prompt_sd = prompt_ckpt
     use_cocoop = cfg.cocoop
+
+    from .adapt.ttl import (make_fused_cocoop_fn, make_fused_tpt_fn,
+                            make_fused_ttl_fn, make_fused_zeroshot_fn)
+
+    if mesh is not None:
+        from .parallel.mesh import replicate, shard_params
+        params = shard_params(params, mesh)
+        if adapters0 is not None:
+            adapters0 = replicate(adapters0, mesh)
+
+    # --- per-mode fused step program: f(params, *state, canv, hs, ws, idxs)
     if use_cocoop:
-        from .adapt.cocoop import init_cocoop, make_cocoop_adapt_fn
+        # CoCoOp runs even at tta_steps=0 semantics: the reference's final
+        # inference ignores the adapted pgen_ctx (see adapt/cocoop.py
+        # docstring), so `logits` is the conditioned unadapted prediction
+        # either way
+        from .adapt.cocoop import init_cocoop
         from .utils.checkpoint import apply_cocoop_ckpt
         co_state = init_cocoop(
             params["text"]["token_embed"].astype(jnp.float32), classnames,
@@ -121,60 +163,57 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             cfg.ctx_init)
         if prompt_sd:
             co_state = apply_cocoop_ckpt(co_state, prompt_sd)
-        adapt_fn = jax.jit(jax.vmap(make_cocoop_adapt_fn(clip_cfg, cfg),
-                                    in_axes=(None, None, 0, 0)))
-        text_cls = None
-    elif use_prompt:
+        if mesh is not None:
+            co_state = replicate(co_state, mesh)
+        step_fn = make_fused_cocoop_fn(clip_cfg, cfg, mesh=mesh)
+        state = (co_state,)
+        get_logits = lambda res: res.logits
+    elif use_prompt and cfg.tta_steps > 0:
         pl_state = init_prompt_learner(
             params["text"]["token_embed"].astype(jnp.float32), classnames,
             cfg.ctx_init)
         if prompt_sd:
             from .utils.checkpoint import apply_prompt_ckpt
             pl_state = apply_prompt_ckpt(pl_state, prompt_sd)
-        adapt_fn = jax.jit(jax.vmap(make_tpt_adapt_fn(clip_cfg, cfg),
-                                    in_axes=(None, None, 0, 0)))
-        # zero-shot (tta_steps=0) in prompt mode classifies with the
-        # prompt-learner's own (unadapted) ctx prompts; only needed then
-        text_cls = None
-        if cfg.tta_steps == 0:
+        if mesh is not None:
+            pl_state = replicate(pl_state, mesh)
+        step_fn = make_fused_tpt_fn(clip_cfg, cfg, mesh=mesh)
+        state = (pl_state,)
+        get_logits = lambda res: res[0].logits
+    else:
+        if use_prompt:
+            # zero-shot in prompt mode classifies with the prompt-learner's
+            # own (unadapted) ctx prompts
+            pl_state = init_prompt_learner(
+                params["text"]["token_embed"].astype(jnp.float32),
+                classnames, cfg.ctx_init)
+            if prompt_sd:
+                from .utils.checkpoint import apply_prompt_ckpt
+                pl_state = apply_prompt_ckpt(pl_state, prompt_sd)
             text_cls = jclip.l2_normalize(
                 jclip.text_features_from_embeddings(
                     params["text"], pl_state.assemble(pl_state.ctx_init),
                     pl_state.tokenized, clip_cfg.text, compute_dtype=cd))
-    else:
-        text_cls = build_text_classifier(
-            params["text"], toks, clip_cfg.text,
-            compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-            else jnp.float32)
-        n_dev = jax.device_count()
-        if n_dev > 1:
-            # multi-chip: shard the sample batch over the data axis (the
-            # per-sample programs are independent; one psum-equivalent
-            # gather at the end). Results are identical to the
-            # single-device vmap (test_parallel).
-            from .parallel.eval import make_sharded_ttl_fn
-            from .parallel.mesh import (DATA_AXIS, make_mesh, replicate,
-                                        shard_batch, shard_params)
-            mesh = make_mesh(cfg.mesh_shape)
-            if cfg.sample_batch % mesh.shape[DATA_AXIS] == 0:
-                params = shard_params(params, mesh)
-                text_cls, adapters0 = replicate((text_cls, adapters0), mesh)
-                base_fn = make_sharded_ttl_fn(clip_cfg, cfg, mesh,
-                                              tokens=toks,
-                                              n_classes=len(classnames))
-                adapt_fn = lambda p, tc, a0, v, k: base_fn(
-                    p, tc, a0, shard_batch(v, mesh), shard_batch(k, mesh))
-                print(f"data-parallel eval over mesh {dict(mesh.shape)}",
-                      flush=True)
-            else:
-                print(f"WARNING: sample_batch={cfg.sample_batch} is not a "
-                      f"multiple of the data axis ({mesh.shape[DATA_AXIS]}); "
-                      f"falling back to single-device eval - set "
-                      f"--sample_batch to a multiple to use all "
-                      f"{n_dev} devices", flush=True)
-                adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
         else:
-            adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
+            text_cls = build_text_classifier(
+                params["text"], toks, clip_cfg.text, compute_dtype=cd)
+        if mesh is not None:
+            text_cls = replicate(text_cls, mesh)
+        if cfg.tta_steps > 0:
+            step_fn = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks,
+                                        mesh=mesh,
+                                        n_classes=len(classnames))
+            state = (text_cls, adapters0)
+            get_logits = lambda res: res.logits
+        else:
+            # plain zero-shot on the deterministic eval view (works for
+            # every backbone incl. RN50)
+            step_fn = make_fused_zeroshot_fn(clip_cfg, cfg, mesh=mesh)
+            state = (text_cls,)
+            get_logits = lambda res: res
+
+    from .parallel.eval import make_count_fn
+    count_fn = make_count_fn(mesh)
 
     batch_time = AverageMeter("Time", ":6.3f", Summary.NONE)
     top1 = AverageMeter("Acc@1", ":6.2f", Summary.AVERAGE)
@@ -182,35 +221,30 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
     progress = ProgressMeter(len(loader), [batch_time, top1, top5],
                              prefix="Test: ")
 
-    root_key = jax.random.PRNGKey(cfg.seed)
+    if n_proc > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS
+        data0 = NamedSharding(mesh, P(DATA_AXIS))
+
+        def put(local):
+            """Assemble each host's local rows into one global array
+            (per-host loader shards ride DCN only at input time)."""
+            return tuple(
+                jax.make_array_from_process_local_data(data0, a)
+                for a in local)
+    else:
+        put = lambda local: local
 
     def dispatch(batch):
-        """Enqueue one device step (async) and return the pending logits."""
-        # per-sample keys keyed on dataset position: deterministic views
-        view_keys = jax.vmap(lambda idx: jax.random.fold_in(root_key, idx))(
-            jnp.asarray(batch.indices, jnp.uint32))
-        views = view_fn(jnp.asarray(batch.canvases),
-                        jnp.asarray(batch.heights),
-                        jnp.asarray(batch.widths), view_keys)
-        if use_cocoop:
-            # CoCoOp runs even at tta_steps=0 semantics: the reference's
-            # final inference ignores the adapted pgen_ctx (see
-            # adapt/cocoop.py docstring), so `logits` is the conditioned
-            # unadapted prediction either way
-            res = adapt_fn(params, co_state, views, view_keys)
-            return res.logits
-        if cfg.tta_steps > 0:
-            if use_prompt:
-                res, _ = adapt_fn(params, pl_state, views, view_keys)
-            else:
-                res = adapt_fn(params, text_cls, adapters0, views, view_keys)
-            return res.logits
-        # tta_steps == 0: plain zero-shot on the clean view (works for every
-        # backbone incl. RN50; prompt mode classifies with the unadapted
-        # prompt-learner ctx table built above)
-        vf = jclip.l2_normalize(_zero_shot_encode(params["vision"],
-                                                  views[:, 0]))
-        return jnp.exp(params["logit_scale"]) * vf @ text_cls.T
+        """Enqueue one device step (async); returns pending count array."""
+        valid = np.arange(local_bs) < (local_bs - batch.pad)
+        canv, hs, ws, idxs, labels, valid = put(
+            (batch.canvases, batch.heights, batch.widths,
+             batch.indices.astype(np.int32),
+             batch.labels.astype(np.int32), valid))
+        res = step_fn(params, *state, canv, hs, ws, idxs)
+        return count_fn(get_logits(res), labels, valid)
 
     # keep a couple of device steps in flight so the host-side fetch and
     # decode overlap TPU compute (the per-dispatch round trip is ~40ms on
@@ -219,25 +253,25 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
     in_flight = []
     end = time.time()
 
-    def drain(i, pending, batch):
-        logits = np.asarray(pending)
-        n = logits.shape[0] - batch.pad
-        acc1, acc5 = accuracy(logits[:n], batch.labels[:n], topk=(1, 5))
-        top1.update(acc1, n)
-        top5.update(acc5, n)
+    def drain(i, pending):
+        c1, c5, n = (int(x) for x in np.asarray(pending))
+        if n > 0:
+            top1.update(100.0 * c1 / n, n)
+            top5.update(100.0 * c5 / n, n)
         batch_time.update(time.time() - end)
-        if (i + 1) % cfg.print_freq == 0:
+        if (i + 1) % cfg.print_freq == 0 and is_main:
             progress.display(i)
 
     for i, batch in enumerate(loader):
-        in_flight.append((i, dispatch(batch), batch))
+        in_flight.append((i, dispatch(batch)))
         if len(in_flight) > DEPTH:
             drain(*in_flight.pop(0))
             end = time.time()
     for item in in_flight:
         drain(*item)
         end = time.time()
-    progress.display_summary()
+    if is_main:
+        progress.display_summary()
     return [top1.avg, top5.avg]
 
 
@@ -261,20 +295,24 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
                   "(lora_encoder=image|text); ignoring it, as the reference "
                   "does", flush=True)
 
+    is_main = jax.process_index() == 0
     results: Dict[str, List[float]] = {}
     for set_id in cfg.test_sets.split("/"):
-        print(f"evaluating: {set_id}", flush=True)
+        if is_main:
+            print(f"evaluating: {set_id}", flush=True)
         ds = datasets.get(set_id) if datasets else None
         results[set_id] = evaluate_dataset(
             set_id, cfg, clip_cfg, params, adapters0, dataset=ds,
             max_samples=max_samples, prompt_ckpt=prompt_ckpt)
-        print("=> Acc. on testset [{}]: @1 {:.2f}/ @5 {:.2f}".format(
-            set_id, results[set_id][0], results[set_id][1]), flush=True)
+        if is_main:
+            print("=> Acc. on testset [{}]: @1 {:.2f}/ @5 {:.2f}".format(
+                set_id, results[set_id][0], results[set_id][1]), flush=True)
 
-    print("======== Result Summary ========")
-    print("params: nstep\tlr\tbs")
-    print(f"params: {cfg.tta_steps}\t{cfg.lr}\t{cfg.batch_size}")
-    print("\t\t [set_id] \t\t Top-1 acc. \t\t Top-5 acc.")
-    print("\t".join(results.keys()))
-    print("\t".join(f"{v[0]:.2f}" for v in results.values()))
+    if is_main:
+        print("======== Result Summary ========")
+        print("params: nstep\tlr\tbs")
+        print(f"params: {cfg.tta_steps}\t{cfg.lr}\t{cfg.batch_size}")
+        print("\t\t [set_id] \t\t Top-1 acc. \t\t Top-5 acc.")
+        print("\t".join(results.keys()))
+        print("\t".join(f"{v[0]:.2f}" for v in results.values()))
     return results
