@@ -25,6 +25,22 @@ def test_fused_forward_matches_reference(shape, causal):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_bshd_layout_matches_reference(causal):
+    """attention_bshd (head axis in place) == reference_attention (BHSD)."""
+    b, h, s, d = 2, 3, 37, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.float32) for kk in ks)
+
+    def to_bshd(t):
+        return t.transpose(0, 2, 1, 3)
+
+    ref = fa.reference_attention(q, k, v, causal)
+    out = fa.attention_bshd(to_bshd(q), to_bshd(k), to_bshd(v), causal)
+    np.testing.assert_allclose(np.asarray(to_bshd(out)), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_vjp_matches_reference():
     shape = (2, 2, 37, 32)  # odd length exercises padding in the backward
     ks = jax.random.split(jax.random.PRNGKey(1), 3)

@@ -89,6 +89,55 @@ def test_http_endpoint(predictor):
     assert exc.value.code == 400
 
 
+def test_http_concurrent_posts_batch(predictor):
+    """Concurrent posts must all succeed (ThreadingHTTPServer + MicroBatcher
+    share one device step across connections), including a malformed body
+    that must fail alone without poisoning its batch."""
+    import socket
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    t = threading.Thread(target=serve, args=(predictor, "127.0.0.1", port),
+                         kwargs={"max_delay_ms": 50.0}, daemon=True)
+    t.start()
+    for _ in range(50):
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                   timeout=1)
+            break
+        except OSError:
+            time.sleep(0.1)
+
+    def post(body):
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                     data=body, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, None
+
+    bodies = []
+    for i in range(4):
+        img = np.random.RandomState(i).randint(0, 255, (64, 64, 3),
+                                               dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG")
+        bodies.append(buf.getvalue())
+    bodies.insert(2, b"garbage, not an image")
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        results = list(ex.map(post, bodies))
+    codes = [c for c, _ in results]
+    assert codes.count(200) == 4 and codes.count(400) == 1
+    for c, payload in results:
+        if c == 200:
+            assert payload["label"] in CLASSES
+
+
 def test_predictor_validates_modes():
     from ttl_tpu.models.zoo import get_arch
 

@@ -73,12 +73,20 @@ class CLIPConfig:
 
 def layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
     """f32 layernorm regardless of activation dtype (matches the reference's
-    fp16-safe LayerNorm, clip/model.py:157-165)."""
+    fp16-safe LayerNorm, clip/model.py:157-165).
+
+    Stats use the E[x^2] - mu^2 form: jnp.var would materialize a centered
+    f32 copy of the [B,S,D] activation to HBM (measured ~8% of busy time at
+    the TTL batch); this form is two fused reduces straight off the bf16
+    input plus one elementwise pass, with identical f32-level numerics for
+    LN-scale activations.
+    """
     dtype = x.dtype
-    x = x.astype(jnp.float32)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    ex2 = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(ex2 - jnp.square(mu), 0.0) + eps)
+    y = (x32 - mu) * inv
     return (y * p["scale"] + p["bias"]).astype(dtype)
 
 
@@ -87,16 +95,22 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 
 def linear(x: jax.Array, p: Params) -> jax.Array:
-    y = jnp.matmul(x, p["w"].astype(x.dtype),
-                   preferred_element_type=jnp.float32)
-    return (y + p["b"].astype(jnp.float32)).astype(x.dtype) \
-        if "b" in p else y.astype(x.dtype)
+    """x @ w + b in the activation dtype. The MXU accumulates bf16 GEMMs in
+    f32 natively, so emitting the output dtype directly skips an f32
+    [B,S,D_out] epilogue tensor; the bias add then happens in the activation
+    dtype, exactly like the reference's fp16-autocast Linear (ttl.py:222).
+    f32 activations are unaffected."""
+    y = jnp.matmul(x, p["w"].astype(x.dtype))
+    return y + p["b"].astype(x.dtype) if "b" in p else y
 
 
 def _attention(q, k, v, heads: int, causal: bool):
     """[B,S,D] multi-head attention; softmax in f32. Routes through the
-    Pallas fused kernel on TPU (ttl_tpu.ops.attention) and the einsum
-    formulation elsewhere - identical numerics either way."""
+    Pallas fused kernel when TTL_FUSED_ATTENTION=1 and the einsum
+    formulation otherwise - identical numerics either way. (A BSHD-layout
+    variant avoiding the physical head transposes measured neutral on-chip:
+    XLA inserts equivalent copies for the einsum layouts - see
+    PERF_NOTES.md round 2.)"""
     from ..ops import attention as fa
 
     b, s, d = q.shape
@@ -114,11 +128,13 @@ def _attention(q, k, v, heads: int, causal: bool):
 
 
 def _lora_compute_mode() -> str:
-    """LoRA GEMM precision: 'f32' (upcast activations, round-1 default) or
-    'mixed' (bf16 inputs, f32 accumulation, f32 rank-r intermediate).
-    Experiment knob read at trace time; see encoder_layer."""
+    """LoRA GEMM precision: 'mixed' (default - inputs in the activation
+    dtype, f32 accumulation, f32 rank-r intermediate) or 'f32' (upcast the
+    [B,S,D] activations first; round-1 behavior, ~5% extra HBM convert
+    traffic for no information gain since h is already bf16). f32-compute
+    runs are identical either way. TTL_LORA_COMPUTE=f32 restores round-1."""
     import os
-    return os.environ.get("TTL_LORA_COMPUTE", "f32")
+    return os.environ.get("TTL_LORA_COMPUTE", "mixed")
 
 
 def fuse_qkv_params(tower: Params) -> Params:

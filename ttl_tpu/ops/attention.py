@@ -180,16 +180,58 @@ def _attention_bwd(causal, res, do):
 attention.defvjp(_attention_fwd, _attention_bwd)
 
 
-def reference_attention(q, k, v, causal: bool = False):
-    """The einsum formulation (for tests / non-TPU fallback)."""
+def _scores_dtype_low() -> bool:
+    """Whether low-precision inputs store attention scores in the input
+    dtype (bf16) instead of f32. Default ON: the [B,H,S,S] score tensor is
+    the dominant HBM traffic of the towers (~21% of busy time at the TTL
+    batch), storing it bf16 halves that, and it is what the reference's
+    fp16-autocast path does anyway (torch bmm emits fp16 scores; softmax
+    internally promotes - HF CLIPAttention under ttl.py:222's autocast).
+    f32 runs are unaffected (the casts are no-ops). TTL_ATTN_SCORES=f32
+    restores round-1 behavior."""
+    import os
+    return os.environ.get("TTL_ATTN_SCORES", "low") != "f32"
+
+
+def attention_bshd(q, k, v, causal: bool = False):
+    """Attention over [B, S, H, D] inputs (head axis in place, no physical
+    transpose): the q/k/v head splits feed the score einsums directly and
+    the output lands back in [B, S, H, D] for the contiguous reshape to
+    [B, S, H*D]. Saves the three [B,S,D]-sized copies per layer the
+    BHSD-layout path pays. Same math as reference_attention."""
     d = q.shape[-1]
+    low = _scores_dtype_low() and q.dtype != jnp.float32
+    q = (q.astype(jnp.float32) * (1.0 / math.sqrt(d))).astype(q.dtype)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=(q.dtype if low
+                                                else jnp.float32))
+    if causal:
+        s = q.shape[1]
+        mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+        scores = jnp.where(mask, scores, jnp.asarray(-1e9, scores.dtype))
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def reference_attention(q, k, v, causal: bool = False):
+    """The einsum formulation (XLA batched GEMMs; the measured winner at
+    CLIP sequence lengths - see use_fused)."""
+    d = q.shape[-1]
+    # pre-scale q (HF CLIPAttention layout): scales the small [.,S,D] tensor
+    # instead of the [.,S,S] scores
+    q = (q.astype(jnp.float32) * (1.0 / math.sqrt(d))).astype(q.dtype)
+    low = _scores_dtype_low() and q.dtype != jnp.float32
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores.astype(jnp.float32) / math.sqrt(d)
+                        preferred_element_type=(q.dtype if low
+                                                else jnp.float32))
     if causal:
         s = q.shape[2]
         mask = jnp.tril(jnp.ones((s, s), dtype=bool))
-        scores = jnp.where(mask, scores, jnp.float32(-1e9))
-    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        scores = jnp.where(mask, scores,
+                           jnp.asarray(-1e9, scores.dtype))
+    # softmax math in f32 (the astype fuses; measured best of the three
+    # formulations tried on-chip - see PERF_NOTES.md round 2)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)

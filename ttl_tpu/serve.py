@@ -1,4 +1,4 @@
-"""Serving: a persistent TTL predictor and a minimal HTTP endpoint.
+"""Serving: a persistent TTL predictor and a batched HTTP endpoint.
 
 The reference is a research evaluation script; this module is the production
 face of the same capability: load the model once, keep the compiled episodic
@@ -7,13 +7,20 @@ the full 64-view TTL treatment and an episodic reset, so requests are
 stateless and order-independent by construction).
 
 `TTLPredictor` is the embeddable API; `python -m ttl_tpu.serve` exposes it
-over HTTP (stdlib http.server - POST a JPEG/PNG body to /predict).
+over HTTP (stdlib ThreadingHTTPServer - POST a JPEG/PNG body to /predict).
+Concurrent requests are micro-batched across connections onto one device
+dispatch (up to `sample_batch` requests per step, a few ms of gathering
+delay), so throughput under load approaches the eval pipeline's instead of
+serializing one 64-view adaptation per request.
 """
 from __future__ import annotations
 
 import io
 import json
+import queue
+import threading
 import time
+from concurrent.futures import Future
 from typing import List, Sequence
 
 import numpy as np
@@ -21,10 +28,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .adapt.ttl import make_batched_ttl_fn
+from .adapt.ttl import make_fused_ttl_fn
 from .config import TTLConfig
 from .models.prompts import build_text_classifier, prompt_tokens
-from .ops.image import make_batched_view_fn
 from .runner import load_model, make_adapters0
 from .utils.jaxcache import enable_compilation_cache
 
@@ -66,10 +72,10 @@ class TTLPredictor:
         self.text_cls = build_text_classifier(params["text"], toks,
                                               clip_cfg.text, compute_dtype=cd)
         self.adapters0 = make_adapters0(cfg, clip_cfg)
-        self.view_fn = make_batched_view_fn(cfg.batch_size, cfg.resolution,
-                                            out_dtype=cd)
-        self.adapt_fn = make_batched_ttl_fn(clip_cfg, cfg, tokens=toks)
+        # one fused program per batch: view expansion + episodic adaptation
+        self.step_fn = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks)
         self._canvas = 512
+        self._lock = threading.Lock()  # device dispatch is single-stream
         if warmup:
             self.predict([np.zeros((64, 64, 3), np.uint8)])
 
@@ -95,13 +101,10 @@ class TTLPredictor:
             # deterministic per-position keys: the same image always gets the
             # same views, so predictions are reproducible and independent of
             # request history (episodic adaptation is stateless by design)
-            keys = jax.vmap(lambda i: jax.random.fold_in(
-                jax.random.PRNGKey(self.cfg.seed), i))(
-                jnp.arange(s, dtype=jnp.uint32))
-            views = self.view_fn(jnp.asarray(canv), jnp.asarray(hs),
-                                 jnp.asarray(ws), keys)
-            res = self.adapt_fn(self.params, self.text_cls, self.adapters0,
-                                views, keys)
+            idxs = np.arange(s, dtype=np.int32)
+            with self._lock:
+                res = self.step_fn(self.params, self.text_cls,
+                                   self.adapters0, canv, hs, ws, idxs)
             logits = np.asarray(res.logits, np.float32)[: len(chunk)]
             zs = np.asarray(res.zero_shot_logits, np.float32)[: len(chunk)]
             probs = np.exp(logits - logits.max(-1, keepdims=True))
@@ -125,10 +128,69 @@ class TTLPredictor:
         return self.predict(images, **kw)
 
 
+class MicroBatcher:
+    """Gathers concurrent requests into one device dispatch.
+
+    Each submitted image blob gets a Future; a single worker drains the
+    queue, waits up to `max_delay_ms` for the batch to fill to
+    `predictor.cfg.sample_batch`, decodes each blob individually (a
+    malformed image fails only its own request), and runs ONE fused TTL
+    step for the whole group.
+    """
+
+    def __init__(self, predictor: TTLPredictor, max_delay_ms: float = 5.0):
+        self.predictor = predictor
+        self.max_delay = max_delay_ms / 1e3
+        self.q: queue.Queue = queue.Queue()
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def submit(self, blob: bytes) -> Future:
+        fut: Future = Future()
+        self.q.put((blob, fut))
+        return fut
+
+    def _loop(self):
+        from PIL import Image
+
+        s = self.predictor.cfg.sample_batch
+        while True:
+            group = [self.q.get()]
+            deadline = time.time() + self.max_delay
+            while len(group) < s:
+                left = deadline - time.time()
+                if left <= 0:
+                    break
+                try:
+                    group.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            images, futs = [], []
+            for blob, fut in group:
+                try:
+                    images.append(np.asarray(
+                        Image.open(io.BytesIO(blob)).convert("RGB")))
+                    futs.append(fut)
+                except Exception as e:
+                    fut.set_exception(e)
+            if not images:
+                continue
+            try:
+                results = self.predictor.predict(images)
+                for fut, res in zip(futs, results):
+                    fut.set_result(res)
+            except Exception as e:  # pragma: no cover - device failure
+                for fut in futs:
+                    fut.set_exception(e)
+
+
 def serve(predictor: TTLPredictor, host: str = "127.0.0.1",
-          port: int = 8787):
-    """Single-threaded HTTP endpoint: POST an image body to /predict."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+          port: int = 8787, *, max_delay_ms: float = 5.0):
+    """Threaded HTTP endpoint with cross-request batching: POST an image
+    body to /predict; concurrent posts share one fused device step."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    batcher = MicroBatcher(predictor, max_delay_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802
@@ -137,9 +199,9 @@ def serve(predictor: TTLPredictor, host: str = "127.0.0.1",
                 return
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
+            t0 = time.time()
             try:
-                t0 = time.time()
-                result = predictor.predict_bytes([body])[0]
+                result = batcher.submit(body).result(timeout=120)
                 result["latency_ms"] = round((time.time() - t0) * 1e3, 1)
                 payload = json.dumps(result).encode()
                 self.send_response(200)
@@ -162,8 +224,10 @@ def serve(predictor: TTLPredictor, host: str = "127.0.0.1",
         def log_message(self, *a):
             pass
 
-    httpd = HTTPServer((host, port), Handler)
-    print(f"ttl_tpu serving on http://{host}:{port}/predict", flush=True)
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"ttl_tpu serving on http://{host}:{port}/predict "
+          f"(batch {predictor.cfg.sample_batch}, "
+          f"gather {max_delay_ms}ms)", flush=True)
     httpd.serve_forever()
 
 
@@ -177,7 +241,10 @@ def main(argv=None):
                    help="set_id whose classname table to serve")
     p.add_argument("--arch", default="ViT-B/16")
     p.add_argument("--checkpoint_path", default=None)
-    p.add_argument("--sample_batch", default=1, type=int)
+    p.add_argument("--sample_batch", default=4, type=int,
+                   help="max requests batched into one device step")
+    p.add_argument("--max_delay_ms", default=5.0, type=float,
+                   help="how long to gather concurrent requests")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", default=8787, type=int)
     args = p.parse_args(argv)
@@ -186,7 +253,7 @@ def main(argv=None):
                     sample_batch=args.sample_batch,
                     test_sets=args.test_sets)
     predictor = TTLPredictor(resolve_classnames(args.test_sets), cfg)
-    serve(predictor, args.host, args.port)
+    serve(predictor, args.host, args.port, max_delay_ms=args.max_delay_ms)
 
 
 if __name__ == "__main__":
