@@ -4,15 +4,23 @@
 Measures the full device path of the default TTL configuration
 (CLIP ViT-B/16, 64 views = 1 clean + 63 random-resized-crop/flip, LoRA r=16
 alpha=32 on vision layers 9-11, DeYO entropy-reweighted loss, one AdamW step
-lr 5e-3, episodic reset, adapted clean-view inference) over a 200-class
-ImageNet-A-sized text table: uint8 canvases -> on-device view generation ->
-jit'd episodic adaptation -> adapted logits.
+lr 5e-3, episodic reset, adapted clean-view inference) exactly as the runner
+dispatches it: ONE fused jit program per batch (uint8 canvases -> on-device
+view generation -> episodic adaptation -> adapted logits) plus the device-
+side top-k count reduction.
 
 Weights are random-init (zero-egress environment - no checkpoint download);
 throughput is weight-independent. The reference publishes no throughput
 numbers (BASELINE.md): its per-sample PyTorch loop is the bottleneck this
 rebuild removes. `vs_baseline` is measured against the repo's north-star
 target of 200 adapted samples/sec/chip (BASELINE.json).
+
+Protocol: the tunneled relay chip shows heavy run-to-run wall-clock variance
+(PERF_NOTES.md), so the result is the best of W windows of N pipelined
+steps each. The primary metric uses the ImageNet-A-sized 200-class table
+(comparable to BENCH_r01); `value_1000_classes` reports the same step at the
+ImageNet/V2/Sketch-sized 1000-class table so those configs' throughput
+claims are honest (VERDICT r1 weak #5).
 
 Prints exactly one JSON line.
 """
@@ -23,6 +31,39 @@ import time
 import numpy as np
 
 
+def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
+            windows=3, iters=10):
+    import jax
+
+    from ttl_tpu.adapt.ttl import make_fused_ttl_fn
+    from ttl_tpu.parallel.eval import make_count_fn
+
+    S = canv.shape[0]
+    fused = make_fused_ttl_fn(clip_cfg, cfg)
+    count_fn = make_count_fn()
+    labels = np.zeros((S,), np.int32)
+    valid = np.ones((S,), bool)
+
+    def step(i):
+        idxs = np.arange(S, dtype=np.int32) + i * S
+        res = fused(params, text_cls, adapters0, canv, hs, ws, idxs)
+        return count_fn(res.logits, labels, valid)
+
+    # NOTE: counts are fetched to host to fence execution - on the
+    # remote-relay TPU backend block_until_ready alone does not reliably
+    # fence. Each window enqueues all steps (async) then drains.
+    for i in range(2):
+        np.asarray(step(i))
+    best = float("inf")
+    for w in range(windows):
+        t0 = time.time()
+        pending = [step(1000 * (w + 1) + i) for i in range(iters)]
+        for p in pending:
+            np.asarray(p)
+        best = min(best, (time.time() - t0) / iters)
+    return S / best
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -30,66 +71,45 @@ def main():
     from ttl_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
 
-    from ttl_tpu.adapt.ttl import make_batched_ttl_fn
     from ttl_tpu.config import TTLConfig
     from ttl_tpu.models.clip import init_clip_params
     from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens
     from ttl_tpu.models.zoo import get_arch
-    from ttl_tpu.ops.image import make_batched_view_fn
     from ttl_tpu.ops.lora import init_adapters
 
-    S = 8          # samples adapted concurrently (throughput-flat from S=4)
-    N_CLASSES = 200
-    WARMUP, ITERS = 2, 8
-
-    cfg = TTLConfig()  # reference defaults
+    S = 8
+    cfg = TTLConfig(sample_batch=S)  # reference defaults
     clip_cfg = get_arch(cfg.arch)
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
                               param_dtype=jnp.bfloat16)
     names = json.loads(
         (pathlib.Path(__file__).parent / "ttl_tpu" / "data" / "assets" /
          "imagenet_classnames.json").read_text())
-    toks = jnp.asarray(prompt_tokens(names[:N_CLASSES]))
-    text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
     n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
     adapters0 = init_adapters(jax.random.PRNGKey(1), n_window,
                               clip_cfg.vision.hidden, cfg.rank,
                               cfg.init_method)
 
-    view_fn = make_batched_view_fn(cfg.batch_size, cfg.resolution)
-    adapt_fn = make_batched_ttl_fn(clip_cfg, cfg)
-
     rng = np.random.RandomState(0)
-    canv = jnp.asarray((rng.rand(S, 512, 512, 3) * 255).astype(np.uint8))
-    hs = jnp.full((S,), 375, jnp.int32)
-    ws = jnp.full((S,), 500, jnp.int32)
+    canv = (rng.rand(S, 512, 512, 3) * 255).astype(np.uint8)
+    hs = np.full((S,), 375, np.int32)
+    ws = np.full((S,), 500, np.int32)
 
-    def step(i):
-        keys = jax.random.split(jax.random.PRNGKey(i), S)
-        views = view_fn(canv, hs, ws, keys)
-        return adapt_fn(params, text_cls, adapters0, views, keys)
+    results = {}
+    for n_classes in (200, 1000):
+        toks = jnp.asarray(prompt_tokens(names[:n_classes]))
+        text_cls = build_text_classifier(params["text"], toks,
+                                         clip_cfg.text)
+        results[n_classes] = measure(clip_cfg, cfg, params, text_cls,
+                                     adapters0, canv, hs, ws)
 
-    # NOTE: logits are fetched to host to fence execution - on the
-    # remote-relay TPU backend block_until_ready alone does not reliably
-    # fence. Throughput is measured pipelined (depth 2, as the runner
-    # executes): fetch of batch i-1 overlaps compute of batch i, so the
-    # per-dispatch round trip amortizes out.
-    for i in range(WARMUP):
-        np.asarray(step(i).logits)
-    t0 = time.time()
-    pending = step(WARMUP)
-    for i in range(1, ITERS):
-        nxt = step(WARMUP + i)
-        np.asarray(pending.logits)
-        pending = nxt
-    np.asarray(pending.logits)
-    dt = (time.time() - t0) / ITERS
-    samples_per_sec = S / dt
+    sps = results[200]
     print(json.dumps({
         "metric": "adapted samples/sec/chip (64-view TTL step, ViT-B/16)",
-        "value": round(samples_per_sec, 2),
+        "value": round(sps, 2),
         "unit": "samples/s/chip",
-        "vs_baseline": round(samples_per_sec / 200.0, 4),
+        "vs_baseline": round(sps / 200.0, 4),
+        "value_1000_classes": round(results[1000], 2),
     }))
 
 

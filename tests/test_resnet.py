@@ -96,11 +96,11 @@ def test_resnet_forward_shapes():
     assert np.isfinite(np.asarray(feats)).all()
 
 
-def test_openai_converter_roundtrip():
-    """Synthetic OpenAI-layout export of tiny RN params converts back
-    identically."""
-    params = rn.init_resnet_params(jax.random.PRNGKey(2), CFG_TINY)
-    p = np_tree(params)
+def export_resnet_sd(vision_params) -> dict:
+    """Export a resnet pytree to OpenAI state_dict layout
+    (clip/model.py naming: visual.conv1..3/bn1..3, visual.layerN.B.*,
+    visual.attnpool.*)."""
+    p = np_tree(vision_params)
     sd = {}
     for i in (1, 2, 3):
         sd[f"visual.conv{i}.weight"] = np.transpose(p[f"conv{i}"],
@@ -133,6 +133,46 @@ def test_openai_converter_roundtrip():
         sd[f"visual.attnpool.{n}_proj.bias"] = ap[n]["b"]
     sd["visual.attnpool.c_proj.weight"] = ap["out"]["w"].T
     sd["visual.attnpool.c_proj.bias"] = ap["out"]["b"]
+    return sd
+
+
+def export_text_sd(text_params) -> dict:
+    """Export a text-tower pytree to OpenAI layout (token_embedding,
+    positional_embedding, transformer.resblocks.*, ln_final,
+    text_projection)."""
+    p = np_tree(text_params)
+    sd = {
+        "token_embedding.weight": p["token_embed"],
+        "positional_embedding": p["pos_embed"],
+        "ln_final.weight": p["ln_final"]["scale"],
+        "ln_final.bias": p["ln_final"]["bias"],
+        "text_projection": p["proj"],
+    }
+    n_layers = p["layers"]["ln1"]["scale"].shape[0]
+    for i in range(n_layers):
+        lp = jax.tree.map(lambda a: a[i], p["layers"])
+        pre = f"transformer.resblocks.{i}"
+        sd[f"{pre}.attn.in_proj_weight"] = np.concatenate(
+            [lp["attn"][n]["w"].T for n in "qkv"], axis=0)
+        sd[f"{pre}.attn.in_proj_bias"] = np.concatenate(
+            [lp["attn"][n]["b"] for n in "qkv"], axis=0)
+        sd[f"{pre}.attn.out_proj.weight"] = lp["attn"]["o"]["w"].T
+        sd[f"{pre}.attn.out_proj.bias"] = lp["attn"]["o"]["b"]
+        sd[f"{pre}.mlp.c_fc.weight"] = lp["mlp"]["fc1"]["w"].T
+        sd[f"{pre}.mlp.c_fc.bias"] = lp["mlp"]["fc1"]["b"]
+        sd[f"{pre}.mlp.c_proj.weight"] = lp["mlp"]["fc2"]["w"].T
+        sd[f"{pre}.mlp.c_proj.bias"] = lp["mlp"]["fc2"]["b"]
+        for ln, name in [("ln1", "ln_1"), ("ln2", "ln_2")]:
+            sd[f"{pre}.{name}.weight"] = lp[ln]["scale"]
+            sd[f"{pre}.{name}.bias"] = lp[ln]["bias"]
+    return sd
+
+
+def test_openai_converter_roundtrip():
+    """Synthetic OpenAI-layout export of tiny RN params converts back
+    identically."""
+    params = rn.init_resnet_params(jax.random.PRNGKey(2), CFG_TINY)
+    sd = export_resnet_sd(params)
 
     back = rn.convert_openai_resnet(sd, CFG_TINY)
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 64, 64))
@@ -141,6 +181,45 @@ def test_openai_converter_roundtrip():
                            compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_full_rn50_infer_and_convert():
+    """Shape inference + conversion on a synthetic FULL RN50 state_dict:
+    infer_config_from_openai must reproduce the published RN50 architecture
+    exactly (the reference's build_model derivation, clip/model.py:428-451),
+    and the converted pytree must match the source weights functionally."""
+    from ttl_tpu.models.clip import init_clip_params, text_features
+    from ttl_tpu.models.convert import (from_openai_state_dict,
+                                        infer_config_from_openai)
+    from ttl_tpu.models.zoo import get_arch
+
+    cfg = get_arch("RN50")
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sd = {**export_resnet_sd(params["vision"]),
+          **export_text_sd(params["text"]),
+          "logit_scale": np.asarray(params["logit_scale"], np.float32)}
+
+    inferred = infer_config_from_openai(sd)
+    assert inferred.vision == cfg.vision   # (3,4,6,3), w64, 32 heads, 224
+    assert inferred.text == cfg.text       # 512w, 12L, 8h, 49408v, ctx 77
+
+    conv = jax.tree.map(jnp.asarray, from_openai_state_dict(sd, inferred))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 224, 224))
+    a = rn.resnet_features(params["vision"], x, cfg.vision,
+                           compute_dtype=jnp.float32)
+    b = rn.resnet_features(conv["vision"], x, inferred.vision,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    toks = jnp.asarray([[49406, 320, 1125, 49407] + [0] * 73,
+                        [49406, 518, 49407] + [0] * 74])
+    ta = text_features(params["text"], toks, cfg.text,
+                       compute_dtype=jnp.float32)
+    tb = text_features(conv["text"], toks, inferred.text,
+                       compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_zoo_arch_configs_consistent():

@@ -240,6 +240,7 @@ def main(argv=None):
     p.add_argument("--test_sets", default="eurosat",
                    help="set_id whose classname table to serve")
     p.add_argument("--arch", default="ViT-B/16")
+    p.add_argument("--resolution", default=224, type=int)
     p.add_argument("--checkpoint_path", default=None)
     p.add_argument("--sample_batch", default=4, type=int,
                    help="max requests batched into one device step")
@@ -249,7 +250,8 @@ def main(argv=None):
     p.add_argument("--port", default=8787, type=int)
     args = p.parse_args(argv)
 
-    cfg = TTLConfig(arch=args.arch, checkpoint_path=args.checkpoint_path,
+    cfg = TTLConfig(arch=args.arch, resolution=args.resolution,
+                    checkpoint_path=args.checkpoint_path,
                     sample_batch=args.sample_batch,
                     test_sets=args.test_sets)
     predictor = TTLPredictor(resolve_classnames(args.test_sets), cfg)
