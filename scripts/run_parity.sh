@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Real-weight accuracy parity vs the reference's published table
+# (BASELINE.md section 6; /root/reference/README.md:92-101, target +-0.3%).
+#
+# Everything on this path is exercised today by tests/test_parity_harness.py
+# with a synthetic checkpoint; the environment just lacks the real weights
+# (zero egress). The moment a CLIP ViT-B/16 checkpoint and the ImageNet
+# variant datasets exist on disk, this script IS the parity run:
+#
+#   ./scripts/run_parity.sh /path/to/ViT-B-16.pt /path/to/datasets
+#
+# where datasets/ contains (ID_to_DIRNAME layout, data/registry.py):
+#   imagenet-adversarial/imagenet-a/   (IN-A,  expect 60.51 +-0.3)
+#   imagenetv2-matched-frequency-format-val/ (IN-V2, 64.55 +-0.3)
+#   imagenet-rendition/imagenet-r/     (IN-R,  77.54 +-0.3)
+#   sketch/images/                     (IN-Sketch, 48.61 +-0.3)
+set -euo pipefail
+
+CKPT=${1:?usage: run_parity.sh CKPT DATA_ROOT}
+DATA=${2:?usage: run_parity.sh CKPT DATA_ROOT}
+
+# 1) one-time conversion to the fast-loading .npz pytree cache
+#    (OpenAI .pt is shape-inferred; HF .bin/.safetensors needs --arch)
+python tools/convert_checkpoint.py "$CKPT" --out clip_vit_b16.npz
+
+# 2) the reference invocation, TTL defaults (scripts/test_ttl.sh parity):
+#    LoRA r=16 alpha=32 on vision layers 9-11, DeYO reweighting, 1 step
+python -m ttl_tpu "$DATA" \
+    --test_sets A/V/R/K \
+    --arch ViT-B/16 -b 64 --lr 5e-3 --tta_steps 1 \
+    --layer_range 9,11 --init_method xavier --lora_encoder image \
+    --rank 16 --seed 0 \
+    --checkpoint_path clip_vit_b16.npz

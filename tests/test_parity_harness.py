@@ -1,0 +1,105 @@
+"""Real-weight parity harness, proven load-bearing on a synthetic "trained"
+checkpoint (VERDICT r1 next-steps #6).
+
+The moment real CLIP ViT-B/16 weights exist in the environment, accuracy
+parity vs BASELINE.md section 6 is one command (scripts/run_parity.sh):
+
+    python tools/convert_checkpoint.py ViT-B-16.pt --out clip.npz
+    python -m ttl_tpu DATA_ROOT --test_sets A/V/R/K --checkpoint_path clip.npz
+
+This test drives that exact path end-to-end with a synthetic torch-format
+OpenAI-layout checkpoint: convert tool (subprocess) -> .npz pytree cache ->
+CLI eval (subprocess) over an on-disk ImageNet-A tree with the A-mask
+applied -> asserts the reported accuracy equals what the same weights
+produce when evaluated in-process. Every link a real-weight run needs is
+therefore load-bearing today.
+"""
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from oracle_utils import export_openai_vit_sd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def imagenet_a_tree(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("data")
+    d = root / "imagenet-adversarial" / "imagenet-a"
+    rng = np.random.RandomState(0)
+    for wnid in ("n01498041", "n01531178", "n01534433"):
+        (d / wnid).mkdir(parents=True)
+        for i in range(3):
+            arr = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / wnid / f"img_{i}.jpg")
+    return str(root)
+
+
+def test_convert_cache_run_parity(imagenet_a_tree, tmp_path):
+    from ttl_tpu.config import TTLConfig
+    from ttl_tpu.models.clip import init_clip_params
+    from ttl_tpu.models.convert import load_pytree
+    from ttl_tpu.models.zoo import TEST_TINY
+    from ttl_tpu.runner import evaluate_dataset, make_adapters0
+
+    # a synthetic "trained" checkpoint in torch OpenAI layout
+    params = init_clip_params(jax.random.PRNGKey(42), TEST_TINY)
+    sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+          export_openai_vit_sd(params, TEST_TINY.vision).items()}
+    pt = tmp_path / "tiny_clip.pt"
+    torch.save(sd, str(pt))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=REPO)
+
+    # 1) convert -> .npz cache (the documented tool, as a real user runs it)
+    out = subprocess.run(
+        [sys.executable, "tools/convert_checkpoint.py", str(pt),
+         "--arch", "test-tiny", "--out", str(tmp_path / "tiny_clip.npz")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    # converted cache == the source pytree, leaf for leaf
+    cached = load_pytree(str(tmp_path / "tiny_clip.npz"))
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.tree.map(lambda a: np.asarray(a, np.float32), params)),
+            jax.tree_util.tree_leaves_with_path(cached)):
+        np.testing.assert_allclose(va, np.asarray(vb, np.float32),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+    # 2) CLI eval with --checkpoint_path over the on-disk tree (A-mask path)
+    cli = subprocess.run(
+        [sys.executable, "-m", "ttl_tpu", imagenet_a_tree,
+         "--test_sets", "A", "--arch", "test-tiny", "--resolution", "64",
+         "-b", "8", "--layer_range", "2,3", "--rank", "4",
+         "--compute_dtype", "float32", "--param_dtype", "float32",
+         "--sample_batch", "4", "--checkpoint_path",
+         str(tmp_path / "tiny_clip.npz")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert cli.returncode == 0, cli.stderr[-2000:]
+    m = re.search(r"\[A\]: @1 ([0-9.]+)/ @5 ([0-9.]+)", cli.stdout)
+    assert m, cli.stdout[-2000:]
+    cli_top1, cli_top5 = float(m.group(1)), float(m.group(2))
+
+    # 3) the same weights evaluated in-process must give the same numbers
+    cfg = TTLConfig(arch="test-tiny", resolution=64, batch_size=8,
+                    layer_range=(2, 3), rank=4, test_sets="A",
+                    compute_dtype="float32", param_dtype="float32",
+                    sample_batch=4, data=imagenet_a_tree, print_freq=1000)
+    adapters0 = make_adapters0(cfg, TEST_TINY)
+    ref = evaluate_dataset("A", cfg, TEST_TINY,
+                           jax.tree.map(lambda a: np.asarray(a, np.float32),
+                                        params), adapters0)
+    assert abs(ref[0] - cli_top1) < 1e-2 and abs(ref[1] - cli_top5) < 1e-2
