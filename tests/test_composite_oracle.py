@@ -47,12 +47,13 @@ class TorchTinyVit(torch.nn.Module):
     applies adapters to all 12 layers, custom_clip.py:596; B=0 makes
     non-window layers mathematically frozen)."""
 
-    def __init__(self, vp, adapters0, cfg):
+    def __init__(self, vp, adapters0, cfg, window=WINDOW):
         super().__init__()
         vc = TEST_TINY.vision
         self.grid, self.patch, self.heads = vc.grid, vc.patch, vc.heads
         self.eps = vc.ln_eps
         self.scale = lora_scale(cfg.rank, cfg.lora_alpha)
+        self.window = window
         self.patch_embed = t(vp["patch_embed"])
         self.class_embed = t(vp["class_embed"])
         self.pos_embed = t(vp["pos_embed"])
@@ -61,7 +62,7 @@ class TorchTinyVit(torch.nn.Module):
         self.ln_post = (t(vp["ln_post"]["scale"]), t(vp["ln_post"]["bias"]))
         self.layers = []
         L = vc.layers
-        lo, hi = WINDOW
+        lo, hi = window
         for i in range(L):
             lp = jax.tree.map(lambda a: a[i], vp["layers"])
             layer = {k: t(v["w"]) for k, v in lp["attn"].items()}
@@ -89,7 +90,7 @@ class TorchTinyVit(torch.nn.Module):
             self.layers.append(layer)
 
     def lora_params(self):
-        lo, hi = WINDOW
+        lo, hi = self.window
         out = []
         for i in range(lo, hi + 1):
             lp = self.layers[i]
@@ -177,6 +178,32 @@ def setup():
         jax.random.normal(jax.random.PRNGKey(3), (V, 3, 64, 64)),
         np.float32) * 0.6
     return params, adapters0, text_cls, views
+
+
+def test_composite_with_frozen_suffix_matches_torch(setup):
+    """Window (1,2) of the 4-layer tower: layer 3 is a frozen SUFFIX layer
+    that gradients traverse under remat (models/clip._run_layers remat=True
+    - the ViT-L memory path). The torch oracle backprops through it
+    normally; results must match exactly."""
+    params, _, text_cls, views = setup
+    window = (1, 2)
+    adapters0 = init_adapters(jax.random.PRNGKey(1), 2,
+                              TEST_TINY.vision.hidden, RANK, "xavier")
+    cfg = TTLConfig(arch="test-tiny", resolution=64, batch_size=V,
+                    layer_range=window, rank=RANK, tta_steps=1,
+                    compute_dtype="float32", param_dtype="float32")
+    fn = make_batched_ttl_fn(TEST_TINY, cfg)
+    res = fn(params, jnp.asarray(text_cls, jnp.float32), adapters0,
+             jnp.asarray(views)[None],
+             jax.random.split(jax.random.PRNGKey(9), 1))
+
+    vit = TorchTinyVit(params["vision"], adapters0, cfg, window=window)
+    torch_zs, torch_adapted = torch_episodic_step(
+        vit, text_cls, params["logit_scale"], torch.from_numpy(views), cfg)
+    np.testing.assert_allclose(np.asarray(res.zero_shot_logits[0]), torch_zs,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res.logits[0]), torch_adapted,
+                               rtol=5e-4, atol=5e-4)
 
 
 @pytest.mark.parametrize("tta_steps", [1, 2])

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--classes", type=int, default=200)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--windows", type=int, default=4)
+    ap.add_argument("--arch", default="ViT-B/16")
     args = ap.parse_args()
 
     if args.variant == "fused_mixed":
@@ -54,7 +55,8 @@ def main():
     from ttl_tpu.parallel.eval import make_count_fn
 
     S = args.s
-    cfg = TTLConfig(sample_batch=S)
+    cfg = TTLConfig(sample_batch=S, arch=args.arch,
+                    resolution=336 if "336" in args.arch else 224)
     clip_cfg = get_arch(cfg.arch)
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
                               param_dtype=jnp.bfloat16)
@@ -113,7 +115,7 @@ def main():
     dt = min(windows)
     sps = S / dt
     print(json.dumps({
-        "variant": args.variant, "s": S, "depth": args.depth,
+        "variant": args.variant, "arch": args.arch, "s": S, "depth": args.depth,
         "classes": args.classes,
         "samples_per_sec": round(sps, 2),
         "ms_per_sample": round(1000.0 / sps, 2),

@@ -210,8 +210,17 @@ def _layer_at(stacked: Params, i: int) -> Params:
 
 
 def _run_layers(stacked: Params, x: jax.Array, lo: int, hi: int, *,
-                heads: int, eps: float, causal: bool) -> jax.Array:
-    """Frozen layers [lo, hi) as a scan over stacked params."""
+                heads: int, eps: float, causal: bool,
+                remat: bool = False) -> jax.Array:
+    """Frozen layers [lo, hi) as a scan over stacked params.
+
+    `remat=True` checkpoints each scanned layer: only the per-layer carry is
+    saved and the layer internals (attention scores/probs) are recomputed in
+    the backward. Used for the frozen layers ABOVE the LoRA window -
+    gradients must flow through them to reach the adapters, and for deep
+    towers (ViT-L: 12 suffix layers x [B,S,S] probs) storing their
+    attention residuals exceeds HBM. Exact math either way.
+    """
     if hi <= lo:
         return x
 
@@ -219,7 +228,8 @@ def _run_layers(stacked: Params, x: jax.Array, lo: int, hi: int, *,
         return encoder_layer(layer_p, h, heads=heads, eps=eps,
                              causal=causal), None
 
-    x, _ = jax.lax.scan(body, x, _slice_layers(stacked, lo, hi))
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x,
+                        _slice_layers(stacked, lo, hi))
     return x
 
 
@@ -270,7 +280,7 @@ def vision_from_hidden(p: Params, hidden: jax.Array, cfg: VisionConfig, *,
                               lora=_layer_at(adapters, i - lo),
                               lora_scale=lora_scale)
         x = _run_layers(p["layers"], x, hi + 1, cfg.layers, heads=cfg.heads,
-                        eps=cfg.ln_eps, causal=False)
+                        eps=cfg.ln_eps, causal=False, remat=True)
     pooled = layer_norm(x[:, 0], p["ln_post"], cfg.ln_eps)
     return jnp.matmul(pooled.astype(jnp.float32),
                       p["proj"].astype(jnp.float32))
@@ -328,7 +338,7 @@ def text_features(p: Params, tokens: jax.Array, cfg: TextConfig, *,
                               lora=_layer_at(adapters, i - lo),
                               lora_scale=lora_scale)
         x = _run_layers(p["layers"], x, hi + 1, cfg.layers, heads=cfg.heads,
-                        eps=cfg.ln_eps, causal=True)
+                        eps=cfg.ln_eps, causal=True, remat=True)
 
     x = layer_norm(x, p["ln_final"], cfg.ln_eps)
     pooled = x[jnp.arange(x.shape[0]), jnp.argmax(tokens, axis=-1)]

@@ -301,9 +301,19 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
         if is_main:
             print(f"evaluating: {set_id}", flush=True)
         ds = datasets.get(set_id) if datasets else None
-        results[set_id] = evaluate_dataset(
-            set_id, cfg, clip_cfg, params, adapters0, dataset=ds,
-            max_samples=max_samples, prompt_ckpt=prompt_ckpt)
+        if set_id == "bongard":
+            # episodic few-shot protocol (support-prototype classifier);
+            # the 2-way task has no meaningful top-5
+            from .adapt.bongard import evaluate_bongard
+            if ds is None:
+                ds = build_dataset(set_id, cfg)
+            acc = evaluate_bongard(cfg, ds, clip_cfg, params, adapters0,
+                                   max_episodes=max_samples)
+            results[set_id] = [acc, 100.0]
+        else:
+            results[set_id] = evaluate_dataset(
+                set_id, cfg, clip_cfg, params, adapters0, dataset=ds,
+                max_samples=max_samples, prompt_ckpt=prompt_ckpt)
         if is_main:
             print("=> Acc. on testset [{}]: @1 {:.2f}/ @5 {:.2f}".format(
                 set_id, results[set_id][0], results[set_id][1]), flush=True)
