@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, type=str, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "and print the top device ops")
+    p.add_argument("--init_distributed", action="store_true",
+                   help="call jax.distributed.initialize() before running "
+                        "(multi-host: coordinator/process env autodetected "
+                        "on TPU pods; each host loads its own input shard, "
+                        "metrics psum across hosts)")
     return p
 
 
@@ -123,6 +128,9 @@ def config_from_args(args: argparse.Namespace) -> TTLConfig:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    if args.init_distributed:
+        import jax
+        jax.distributed.initialize()
     from .utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     from .runner import run
