@@ -90,34 +90,55 @@ class TTLPredictor:
             hs[i], ws[i] = place_on_canvas(canv[i], img)
         return canv, hs, ws
 
+    def dispatch(self, images: Sequence[np.ndarray]):
+        """Enqueue one fused device step for up to sample_batch images
+        (async - the device computes while the host does other work).
+        Returns an opaque handle for `collect`."""
+        chunk = list(images)
+        assert len(chunk) <= self.cfg.sample_batch
+        canv, hs, ws = self._batch(chunk)
+        # deterministic per-position keys: the same image always gets the
+        # same views, so predictions are reproducible and independent of
+        # request history (episodic adaptation is stateless by design)
+        idxs = np.arange(self.cfg.sample_batch, dtype=np.int32)
+        with self._lock:
+            res = self.step_fn(self.params, self.text_cls,
+                               self.adapters0, canv, hs, ws, idxs)
+        return res, len(chunk)
+
+    def collect(self, handle, *, topk: int = 5) -> List[dict]:
+        """Fetch a dispatched step's results (blocks on device)."""
+        res, n = handle
+        out: List[dict] = []
+        logits = np.asarray(res.logits, np.float32)[:n]
+        zs = np.asarray(res.zero_shot_logits, np.float32)[:n]
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        for p, z in zip(probs, zs):
+            order = np.argsort(-p)[:topk]
+            out.append({
+                "label": self.classnames[int(order[0])],
+                "topk": [{"label": self.classnames[int(i)],
+                          "prob": float(p[i])} for i in order],
+                "zero_shot_label":
+                    self.classnames[int(np.argmax(z))],
+            })
+        return out
+
     def predict(self, images: Sequence[np.ndarray], *,
                 topk: int = 5) -> List[dict]:
-        """images: uint8 [H,W,3] arrays. Returns one dict per image."""
+        """images: uint8 [H,W,3] arrays. Returns one dict per image.
+        Pipelined at depth 2 over sample_batch-sized chunks."""
         out: List[dict] = []
         s = self.cfg.sample_batch
+        pending = None
         for start in range(0, len(images), s):
-            chunk = list(images[start: start + s])
-            canv, hs, ws = self._batch(chunk)
-            # deterministic per-position keys: the same image always gets the
-            # same views, so predictions are reproducible and independent of
-            # request history (episodic adaptation is stateless by design)
-            idxs = np.arange(s, dtype=np.int32)
-            with self._lock:
-                res = self.step_fn(self.params, self.text_cls,
-                                   self.adapters0, canv, hs, ws, idxs)
-            logits = np.asarray(res.logits, np.float32)[: len(chunk)]
-            zs = np.asarray(res.zero_shot_logits, np.float32)[: len(chunk)]
-            probs = np.exp(logits - logits.max(-1, keepdims=True))
-            probs /= probs.sum(-1, keepdims=True)
-            for p, z in zip(probs, zs):
-                order = np.argsort(-p)[:topk]
-                out.append({
-                    "label": self.classnames[int(order[0])],
-                    "topk": [{"label": self.classnames[int(i)],
-                              "prob": float(p[i])} for i in order],
-                    "zero_shot_label":
-                        self.classnames[int(np.argmax(z))],
-                })
+            handle = self.dispatch(images[start: start + s])
+            if pending is not None:
+                out.extend(self.collect(pending, topk=topk))
+            pending = handle
+        if pending is not None:
+            out.extend(self.collect(pending, topk=topk))
         return out
 
     def predict_bytes(self, blobs: Sequence[bytes], **kw) -> List[dict]:
@@ -150,12 +171,29 @@ class MicroBatcher:
         self.q.put((blob, fut))
         return fut
 
+    def _resolve(self, pending):
+        futs, handle = pending
+        try:
+            results = self.predictor.collect(handle)
+            for fut, res in zip(futs, results):
+                fut.set_result(res)
+        except Exception as e:  # pragma: no cover - device failure
+            for fut in futs:
+                fut.set_exception(e)
+
     def _loop(self):
         from PIL import Image
 
         s = self.predictor.cfg.sample_batch
+        pending = None  # depth-2 pipeline: dispatch group i+1, then fetch i
         while True:
-            group = [self.q.get()]
+            try:
+                first = self.q.get(timeout=0.002 if pending else None)
+            except queue.Empty:
+                self._resolve(pending)
+                pending = None
+                continue
+            group = [first]
             deadline = time.time() + self.max_delay
             while len(group) < s:
                 left = deadline - time.time()
@@ -176,12 +214,14 @@ class MicroBatcher:
             if not images:
                 continue
             try:
-                results = self.predictor.predict(images)
-                for fut, res in zip(futs, results):
-                    fut.set_result(res)
+                handle = self.predictor.dispatch(images)
             except Exception as e:  # pragma: no cover - device failure
                 for fut in futs:
                     fut.set_exception(e)
+                continue
+            if pending is not None:
+                self._resolve(pending)
+            pending = (futs, handle)
 
 
 def serve(predictor: TTLPredictor, host: str = "127.0.0.1",
