@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("variant", choices=["base", "fused", "fused_mixed"])
+    ap.add_argument("variant",
+                    choices=["base", "fused", "fused_mixed", "fused1"])
     ap.add_argument("--s", type=int, default=8)
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--classes", type=int, default=200)
@@ -90,6 +91,26 @@ def main():
                             jnp.asarray(ws), keys)
             res = adapt_fn(params, text_cls, adapters0, views, keys)
             return count_fn(res.logits, labels, valid)
+    elif args.variant == "fused1":
+        # counts folded INTO the fused program: one dispatch per batch
+        import jax as _jax
+        fused = make_fused_ttl_fn(clip_cfg, cfg)
+
+        @_jax.jit
+        def step1(params, text_cls, adapters0, canv, hs, ws, idxs, labels,
+                  valid):
+            res = fused(params, text_cls, adapters0, canv, hs, ws, idxs)
+            _, pred = _jax.lax.top_k(res.logits.astype(jnp.float32), 5)
+            hit = (pred == labels[:, None]) & valid[:, None]
+            return jnp.stack(
+                [jnp.sum(_jax.numpy.any(hit[:, :k], axis=1),
+                         dtype=jnp.int32) for k in (1, 5)]
+                + [jnp.sum(valid, dtype=jnp.int32)])
+
+        def step(i):
+            idxs = np.arange(S, dtype=np.int32) + i * S
+            return step1(params, text_cls, adapters0, canv, hs, ws, idxs,
+                         labels, valid)
     else:
         fused = make_fused_ttl_fn(clip_cfg, cfg)
 
