@@ -32,7 +32,7 @@ import numpy as np
 
 
 def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
-            windows=3, iters=10):
+            windows=5, iters=10):
     import jax
 
     from ttl_tpu.adapt.ttl import make_fused_ttl_fn

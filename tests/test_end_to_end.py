@@ -103,12 +103,31 @@ def test_cli_parses_reference_invocation():
 def test_aug_list_end_to_end():
     """A non-empty aug_list (the reference's shipped-but-disabled AugMix
     chains, datautils.py:110-138) must run through the full TTL step, and
-    change the views (hence the adapted logits) vs the crop+flip default."""
+    actually change the generated views vs the crop+flip default (so a
+    silent regression of the config plumbing can't pass)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttl_tpu.adapt.ttl import _make_view_fn_for, sample_key
     ds = make_synthetic_dataset()
     cfg = CFG.replace(aug_ops=("autocontrast", "equalize", "posterize"),
                       aug_severity=3)
     r_aug = run(cfg, datasets={"eurosat": ds})
     assert 0.0 <= r_aug["eurosat"][0] <= 100.0
+
+    # load-bearing check: the view fn the adapt programs build from this
+    # cfg must differ from the crop+flip default on the augmented views
+    # (view 0, the clean eval view, stays deterministic and identical)
+    canvas = np.zeros((96, 96, 3), np.uint8)
+    canvas[:64, :64] = (np.random.RandomState(0).rand(64, 64, 3) * 255
+                        ).astype(np.uint8)
+    key = sample_key(cfg.seed, jnp.int32(3))
+    h = w = jnp.int32(64)
+    v_aug = _make_view_fn_for(cfg)(canvas, h, w, key)
+    v_plain = _make_view_fn_for(CFG)(canvas, h, w, key)
+    np.testing.assert_array_equal(np.asarray(v_aug[0]),
+                                  np.asarray(v_plain[0]))
+    assert not np.allclose(np.asarray(v_aug[1:]), np.asarray(v_plain[1:]))
 
 
 def test_cli_parses_aug_list():

@@ -163,16 +163,16 @@ def test_count_fn_matches_host(setup):
 
 
 def test_lora_compute_mixed_close_to_f32(setup, monkeypatch):
-    """The 'mixed' LoRA GEMM precision (bf16 inputs, f32 accumulation) must
-    track the f32 path closely - it feeds the same bf16 activations in."""
-    from ttl_tpu.models import clip as jclip
+    """The 'mixed' LoRA GEMM precision (the default: bf16 inputs, f32
+    accumulation) must track the round-1 f32-upcast path closely - it feeds
+    the same bf16 activations in. The f32 leg pins TTL_LORA_COMPUTE=f32
+    explicitly (the default IS mixed, so an env-less run would alias)."""
     params, text_cls, adapters0, canv, hs, ws, idxs = setup
     cfg = CFG.replace(compute_dtype="bfloat16")
+    monkeypatch.setenv("TTL_LORA_COMPUTE", "f32")
     ref = make_fused_ttl_fn(TEST_TINY, cfg)(
         params, text_cls, adapters0, canv, hs, ws, idxs)
     monkeypatch.setenv("TTL_LORA_COMPUTE", "mixed")
-    jclip._lora_compute_mode.cache_clear() if hasattr(
-        jclip._lora_compute_mode, "cache_clear") else None
     mixed = make_fused_ttl_fn(TEST_TINY, cfg)(
         params, text_cls, adapters0, canv, hs, ws, idxs)
     np.testing.assert_allclose(np.asarray(mixed.logits),

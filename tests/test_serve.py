@@ -89,6 +89,18 @@ def test_http_endpoint(predictor):
     assert exc.value.code == 400
 
 
+def test_prediction_independent_of_batch_slot(predictor):
+    """Content-keyed view RNG: the same image must produce the identical
+    prediction whether it arrives alone (slot 0) or packed after another
+    request (slot 1) by the micro-batcher."""
+    imgs = [np.random.RandomState(i).randint(0, 255, (90, 110, 3),
+                                             dtype=np.uint8)
+            for i in range(3)]
+    solo = predictor.predict([imgs[1]])[0]
+    batched = predictor.predict(imgs)[1]  # slot 1 of the first chunk
+    assert solo == batched
+
+
 def test_http_concurrent_posts_batch(predictor):
     """Concurrent posts must all succeed (ThreadingHTTPServer + MicroBatcher
     share one device step across connections), including a malformed body

@@ -3,12 +3,15 @@
 
 Measures adapted samples/sec/chip for the 64-view TTL step across variants:
 
-  base         round-1 path: two dispatches (view_fn, adapt_fn) + key fold
-  fused        one fused program per batch (view gen + adapt + count)
-  fused_mixed  fused + TTL_LORA_COMPUTE=mixed (bf16-in/f32-acc LoRA GEMMs)
-  S sweep / pipeline depth via flags
+  base         round-1 path: two dispatches (view_fn, adapt_fn) + key fold,
+               round-1 precision knobs (f32 LoRA GEMM inputs, f32 scores)
+  fused        one fused program per batch, current defaults
+  fused_f32    fused + TTL_LORA_COMPUTE=f32 TTL_ATTN_SCORES=f32 (round-1
+               precision knobs; isolates the bf16-traffic changes)
+  fused1       counts folded into the step program (one dispatch)
+  S sweep via --s
 
-Usage: python tools/perf_r02.py <variant> [--s N] [--depth N] [--classes N]
+Usage: python tools/perf_r02.py <variant> [--s N] [--classes N] [--arch A]
 Each variant runs in its own process (env-dependent trace-time knobs).
 """
 import argparse
@@ -23,17 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant",
-                    choices=["base", "fused", "fused_mixed", "fused1"])
+                    choices=["base", "fused", "fused_f32", "fused1"])
     ap.add_argument("--s", type=int, default=8)
-    ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--classes", type=int, default=200)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--windows", type=int, default=4)
     ap.add_argument("--arch", default="ViT-B/16")
     args = ap.parse_args()
 
-    if args.variant == "fused_mixed":
-        os.environ["TTL_LORA_COMPUTE"] = "mixed"
+    if args.variant in ("base", "fused_f32"):
+        # round-1 precision knobs (the in-tree defaults are now mixed/low)
+        os.environ["TTL_LORA_COMPUTE"] = "f32"
+        os.environ["TTL_ATTN_SCORES"] = "f32"
 
     import numpy as np
 
@@ -136,7 +140,7 @@ def main():
     dt = min(windows)
     sps = S / dt
     print(json.dumps({
-        "variant": args.variant, "arch": args.arch, "s": S, "depth": args.depth,
+        "variant": args.variant, "arch": args.arch, "s": S,
         "classes": args.classes,
         "samples_per_sec": round(sps, 2),
         "ms_per_sample": round(1000.0 / sps, 2),

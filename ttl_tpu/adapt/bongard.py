@@ -67,6 +67,13 @@ def evaluate_bongard(cfg: TTLConfig, dataset, clip_cfg, params, adapters0,
     a BongardEpisode (ttl_tpu.data.bongard)."""
     from ..data.views import load_canvas
 
+    if cfg.tta_steps > 0 and cfg.lora_encoder != "image":
+        raise ValueError(
+            "bongard episodic adaptation tunes vision-encoder LoRA against "
+            "the support-prototype classifier; lora_encoder="
+            f"{cfg.lora_encoder!r} has no text/prompt tower to adapt here. "
+            "Use --lora_encoder image, or --tta_steps 0 for the pure "
+            "prototype evaluation.")
     encode = make_support_encoder(clip_cfg, cfg)
     adapt = (make_bongard_step_fn(clip_cfg, cfg) if cfg.tta_steps > 0
              else None)

@@ -75,18 +75,27 @@ def layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
     """f32 layernorm regardless of activation dtype (matches the reference's
     fp16-safe LayerNorm, clip/model.py:157-165).
 
-    Stats use the E[x^2] - mu^2 form: jnp.var would materialize a centered
-    f32 copy of the [B,S,D] activation to HBM (measured ~8% of busy time at
-    the TTL batch); this form is two fused reduces straight off the bf16
-    input plus one elementwise pass, with identical f32-level numerics for
-    LN-scale activations.
+    Stats avoid jnp.var, which materialized a centered f32 copy of the
+    [B,S,D] activation to HBM (measured ~8% of busy time at the TTL batch):
+    the default computes mean then mean((x-mu)^2) with the square fused
+    into the reduce (cancellation-safe); TTL_LN_STATS=ex2 selects the
+    E[x^2]-mu^2 single-dependency form (~3% faster, unsafe for large
+    common-mode activations). See _ln_stats_mode.
     """
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    ex2 = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(ex2 - jnp.square(mu), 0.0) + eps)
-    y = (x32 - mu) * inv
+    if _ln_stats_mode() == "ex2":
+        var = jnp.maximum(
+            jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+            - jnp.square(mu), 0.0)
+    else:
+        # centered second pass: cancellation-safe for activations with a
+        # large common-mode offset (real trained checkpoints), with the
+        # square fused into the reduce (no materialized (x-mu) copy -
+        # jnp.var's was the round-1 HBM cost, not the extra pass)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
     return (y * p["scale"] + p["bias"]).astype(dtype)
 
 
@@ -107,10 +116,11 @@ def linear(x: jax.Array, p: Params) -> jax.Array:
 def _attention(q, k, v, heads: int, causal: bool):
     """[B,S,D] multi-head attention; softmax in f32. Routes through the
     Pallas fused kernel when TTL_FUSED_ATTENTION=1 and the einsum
-    formulation otherwise - identical numerics either way. (A BSHD-layout
-    variant avoiding the physical head transposes measured neutral on-chip:
-    XLA inserts equivalent copies for the einsum layouts - see
-    PERF_NOTES.md round 2.)"""
+    formulation otherwise - identical numerics at f32; in bf16 the default
+    einsum path stores scores bf16 (ops/attention._scores_dtype_low) while
+    the kernel keeps them f32 in VMEM. (A BSHD-layout variant avoiding the
+    physical head transposes measured neutral on-chip: XLA inserts
+    equivalent copies for the einsum layouts - see PERF_NOTES.md round 2.)"""
     from ..ops import attention as fa
 
     b, s, d = q.shape
@@ -125,6 +135,17 @@ def _attention(q, k, v, heads: int, causal: bool):
     else:
         out = fa.reference_attention(q, k, v, causal)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+def _ln_stats_mode() -> str:
+    """LN variance formulation: 'centered' (default; two fused reduces, the
+    second reading (x-mu)^2 in-register - cancellation-safe) or 'ex2'
+    (E[x^2]-mu^2; ~3% less busy time but catastrophically cancels when
+    mu^2/var approaches 1/eps_f32). Both avoid jnp.var's materialized
+    centered copy (the round-1 HBM cost). Correctness-first default:
+    centered - the real-weight parity target (+-0.3%) outweighs 3%."""
+    import os
+    return os.environ.get("TTL_LN_STATS", "centered")
 
 
 def _lora_compute_mode() -> str:

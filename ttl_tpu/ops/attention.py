@@ -184,11 +184,13 @@ def _scores_dtype_low() -> bool:
     """Whether low-precision inputs store attention scores in the input
     dtype (bf16) instead of f32. Default ON: the [B,H,S,S] score tensor is
     the dominant HBM traffic of the towers (~21% of busy time at the TTL
-    batch), storing it bf16 halves that, and it is what the reference's
-    fp16-autocast path does anyway (torch bmm emits fp16 scores; softmax
-    internally promotes - HF CLIPAttention under ttl.py:222's autocast).
-    f32 runs are unaffected (the casts are no-ops). TTL_ATTN_SCORES=f32
-    restores round-1 behavior."""
+    batch), storing it bf16 halves that, and it mirrors the reference's
+    fp16-autocast behavior (torch bmm emits fp16 scores; softmax internally
+    promotes - HF CLIPAttention under ttl.py:222's autocast), though bf16's
+    7 mantissa bits are coarser than fp16's 10 (covered by the bf16~=f32
+    cosine test). f32 compute runs are always bit-identical to round 1.
+    TTL_ATTN_SCORES=f32 restores round-1 f32 score storage for bf16 runs
+    too."""
     import os
     return os.environ.get("TTL_ATTN_SCORES", "low") != "f32"
 
@@ -216,15 +218,24 @@ def attention_bshd(q, k, v, causal: bool = False):
 
 def reference_attention(q, k, v, causal: bool = False):
     """The einsum formulation (XLA batched GEMMs; the measured winner at
-    CLIP sequence lengths - see use_fused)."""
+    CLIP sequence lengths - see use_fused).
+
+    Low mode (default for low-precision inputs): q is pre-scaled (the small
+    [.,S,D] tensor, HF CLIPAttention layout) and scores are written in the
+    input dtype via the GEMM epilogue; softmax math stays f32. f32 mode
+    (TTL_ATTN_SCORES=f32, and always when inputs are f32) is bit-identical
+    to round 1: f32 scores from unscaled q, divided after.
+    """
     d = q.shape[-1]
-    # pre-scale q (HF CLIPAttention layout): scales the small [.,S,D] tensor
-    # instead of the [.,S,S] scores
-    q = (q.astype(jnp.float32) * (1.0 / math.sqrt(d))).astype(q.dtype)
     low = _scores_dtype_low() and q.dtype != jnp.float32
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=(q.dtype if low
-                                                else jnp.float32))
+    if low:
+        q = (q.astype(jnp.float32) * (1.0 / math.sqrt(d))).astype(q.dtype)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=q.dtype)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores.astype(jnp.float32) / math.sqrt(d)
     if causal:
         s = q.shape[2]
         mask = jnp.tril(jnp.ones((s, s), dtype=bool))

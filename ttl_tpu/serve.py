@@ -94,13 +94,20 @@ class TTLPredictor:
         """Enqueue one fused device step for up to sample_batch images
         (async - the device computes while the host does other work).
         Returns an opaque handle for `collect`."""
+        import zlib
+
         chunk = list(images)
         assert len(chunk) <= self.cfg.sample_batch
         canv, hs, ws = self._batch(chunk)
-        # deterministic per-position keys: the same image always gets the
-        # same views, so predictions are reproducible and independent of
-        # request history (episodic adaptation is stateless by design)
-        idxs = np.arange(self.cfg.sample_batch, dtype=np.int32)
+        # content-keyed RNG: the view key is folded from a hash of the
+        # image bytes, so the same image always gets the same views - the
+        # prediction is reproducible regardless of which batch slot the
+        # micro-batcher packs the request into or what else is in flight
+        # (episodic adaptation is stateless by design)
+        idxs = np.zeros((self.cfg.sample_batch,), np.int32)
+        for i, img in enumerate(chunk):
+            idxs[i] = zlib.crc32(np.ascontiguousarray(img).tobytes()) \
+                & 0x7FFFFFFF
         with self._lock:
             res = self.step_fn(self.params, self.text_cls,
                                self.adapters0, canv, hs, ws, idxs)
