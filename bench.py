@@ -51,7 +51,10 @@ def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
 
     # NOTE: counts are fetched to host to fence execution - on the
     # remote-relay TPU backend block_until_ready alone does not reliably
-    # fence. Each window enqueues all steps (async) then drains.
+    # fence. Each window enqueues all steps (async) then drains; windows
+    # are spaced out to dodge sustained relay contention from co-tenants
+    # (observed: wall 2-3x device-busy for minutes at a time), and the
+    # best window is reported (contention only ever adds time).
     for i in range(2):
         np.asarray(step(i))
     best = float("inf")
@@ -61,6 +64,8 @@ def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
         for p in pending:
             np.asarray(p)
         best = min(best, (time.time() - t0) / iters)
+        if w + 1 < windows:
+            time.sleep(8.0)
     return S / best
 
 

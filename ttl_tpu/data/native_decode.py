@@ -16,7 +16,11 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+# source checkout layout (repo_root/native); wheel installs have no native
+# dir and fall back to PIL unless TTL_NATIVE_DIR points at the sources
+_NATIVE_DIR = Path(os.environ.get(
+    "TTL_NATIVE_DIR",
+    Path(__file__).resolve().parent.parent.parent / "native"))
 _SO = _NATIVE_DIR / "libttl_decode.so"
 
 
