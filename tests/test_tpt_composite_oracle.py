@@ -33,7 +33,6 @@ from ttl_tpu.config import TTLConfig
 from ttl_tpu.models.clip import init_clip_params
 from ttl_tpu.models.prompts import init_prompt_learner
 from ttl_tpu.models.zoo import TEST_TINY
-from ttl_tpu.ops.lora import init_adapters
 
 V = 16
 CLASSNAMES = ["forest", "river", "highway", "lake", "farmland"]

@@ -49,8 +49,7 @@ def main():
 
     import pathlib
 
-    from ttl_tpu.adapt.ttl import (make_batched_ttl_fn, make_fused_ttl_fn,
-                                   sample_key)
+    from ttl_tpu.adapt.ttl import make_batched_ttl_fn, make_fused_ttl_fn
     from ttl_tpu.config import TTLConfig
     from ttl_tpu.models.clip import init_clip_params
     from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens

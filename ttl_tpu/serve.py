@@ -25,7 +25,6 @@ from typing import List, Sequence
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from .adapt.ttl import make_fused_ttl_fn
