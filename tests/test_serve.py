@@ -150,6 +150,30 @@ def test_http_concurrent_posts_batch(predictor):
             assert payload["label"] in CLASSES
 
 
+def test_mesh_predictor_matches_single_device(predictor):
+    """Data-parallel serving (use_mesh) must reproduce the single-device
+    predictor exactly (8-device virtual CPU mesh)."""
+    import jax
+
+    from ttl_tpu.models.clip import init_clip_params
+    params = init_clip_params(jax.random.PRNGKey(0), TEST_TINY)
+    mesh_pred = TTLPredictor(CLASSES, CFG.replace(sample_batch=8),
+                             params=params, clip_cfg=TEST_TINY,
+                             warmup=False, use_mesh=True)
+    imgs = [np.random.RandomState(i).randint(0, 255, (100, 120, 3),
+                                             dtype=np.uint8)
+            for i in range(3)]
+    a = mesh_pred.predict(imgs)
+    b = predictor.predict(imgs)
+    for ra, rb in zip(a, b):
+        assert ra["label"] == rb["label"]
+        assert ra["zero_shot_label"] == rb["zero_shot_label"]
+        for ta, tb in zip(ra["topk"], rb["topk"]):
+            assert ta["label"] == tb["label"]
+            np.testing.assert_allclose(ta["prob"], tb["prob"],
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_predictor_validates_modes():
     from ttl_tpu.models.zoo import get_arch
 

@@ -44,13 +44,27 @@ class TTLPredictor:
 
     def __init__(self, classnames: Sequence[str],
                  cfg: TTLConfig = TTLConfig(), *,
-                 params=None, clip_cfg=None, warmup: bool = True):
+                 params=None, clip_cfg=None, warmup: bool = True,
+                 use_mesh: bool = False):
         enable_compilation_cache()
         self.cfg = cfg
         self.classnames = list(classnames)
         if params is None:
             clip_cfg, params = load_model(cfg)
         self.clip_cfg, self.params = clip_cfg, params
+        # multi-chip serving: shard each request batch over the data axis
+        # (same mesh semantics as the runner; results identical to
+        # single-device, test_fused)
+        self.mesh = None
+        if use_mesh:
+            from .parallel.mesh import DATA_AXIS, make_mesh, shard_params
+            mesh = make_mesh(cfg.mesh_shape)
+            if cfg.sample_batch % mesh.shape[DATA_AXIS] != 0:
+                raise ValueError(
+                    f"sample_batch ({cfg.sample_batch}) must be a multiple "
+                    f"of the data axis ({mesh.shape[DATA_AXIS]})")
+            self.mesh = mesh
+            self.params = params = shard_params(params, mesh)
         # same mode validation the runner applies (otherwise unsupported
         # combos die with opaque KeyErrors at warmup)
         from .models.clip import VisionConfig
@@ -71,8 +85,14 @@ class TTLPredictor:
         self.text_cls = build_text_classifier(params["text"], toks,
                                               clip_cfg.text, compute_dtype=cd)
         self.adapters0 = make_adapters0(cfg, clip_cfg)
+        if self.mesh is not None:
+            from .parallel.mesh import replicate
+            self.text_cls = replicate(self.text_cls, self.mesh)
+            self.adapters0 = replicate(self.adapters0, self.mesh)
         # one fused program per batch: view expansion + episodic adaptation
-        self.step_fn = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks)
+        self.step_fn = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks,
+                                         mesh=self.mesh,
+                                         n_classes=len(self.classnames))
         self._canvas = 512
         self._lock = threading.Lock()  # device dispatch is single-stream
         if warmup:
@@ -290,6 +310,9 @@ def main(argv=None):
     p.add_argument("--checkpoint_path", default=None)
     p.add_argument("--sample_batch", default=4, type=int,
                    help="max requests batched into one device step")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard request batches over all chips (data-parallel"
+                        " serving; sample_batch must divide the data axis)")
     p.add_argument("--max_delay_ms", default=5.0, type=float,
                    help="how long to gather concurrent requests")
     p.add_argument("--host", default="127.0.0.1")
@@ -300,7 +323,8 @@ def main(argv=None):
                     checkpoint_path=args.checkpoint_path,
                     sample_batch=args.sample_batch,
                     test_sets=args.test_sets)
-    predictor = TTLPredictor(resolve_classnames(args.test_sets), cfg)
+    predictor = TTLPredictor(resolve_classnames(args.test_sets), cfg,
+                             use_mesh=args.mesh)
     serve(predictor, args.host, args.port, max_delay_ms=args.max_delay_ms)
 
 
