@@ -66,6 +66,10 @@ def build_dataset(set_id: str, args, n_shot=None):
     if set_id == "bongard":
         from .bongard import BongardDataset
         return BongardDataset(root, mode=args.dataset_mode)
+    if set_id.lower() == "cifar10":
+        from .cifar10 import Cifar10Dataset
+        return Cifar10Dataset(os.path.join(root, "cifar-10-batches-py"),
+                              mode=args.dataset_mode)
     raise NotImplementedError(f"unknown set_id {set_id!r}")
 
 
