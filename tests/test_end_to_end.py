@@ -220,6 +220,25 @@ def test_loader_sharding_partitions_samples():
     assert len(set(map(tuple, parts))) == 3
 
 
+@pytest.mark.parametrize("mode_kw", [
+    {"lora_encoder": "prompt"},            # TPT prompt-ctx
+    {"cocoop": True},                      # CoCoOp
+    {"tta_steps": 0},                      # zero-shot
+])
+def test_runner_mesh_path_matches_fallback(mode_kw):
+    """Every adaptation mode through the RUNNER on the 8-device mesh
+    (sample_batch=8 engages the data-parallel dispatch) must equal the
+    single-device fallback (sample_batch=2 is not divisible -> no mesh):
+    per-sample keys are position-folded, so results are batch-invariant."""
+    ds = make_synthetic_dataset(n=10)
+    meshed = run(CFG.replace(sample_batch=8, **mode_kw),
+                 datasets={"eurosat": ds})
+    single = run(CFG.replace(sample_batch=2, **mode_kw),
+                 datasets={"eurosat": ds})
+    np.testing.assert_allclose(meshed["eurosat"], single["eurosat"],
+                               rtol=0, atol=1e-9)
+
+
 def test_cocoop_mode_runs():
     """--cocoop must actually route to the CoCoOp adapt path."""
     ds = make_synthetic_dataset(n=4)
