@@ -61,3 +61,11 @@ def test_predict_zero_shot_mode(image_dir):
 def test_empty_directory_errors(tmp_path):
     with pytest.raises(FileNotFoundError, match="no images"):
         ImageDirDataset(str(tmp_path))
+
+
+def test_predict_validates_modes(image_dir):
+    with pytest.raises(ValueError, match="ResNet vision tower"):
+        predict_directory(CFG.replace(data=image_dir, arch="RN50"), CLASSES)
+    with pytest.raises(ValueError, match="LoRA modes"):
+        predict_directory(CFG.replace(data=image_dir,
+                                      lora_encoder="prompt"), CLASSES)

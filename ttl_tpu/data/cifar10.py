@@ -24,24 +24,24 @@ class Cifar10Dataset:
     def __init__(self, root: str, mode: str = "test"):
         files = (["test_batch"] if mode == "test"
                  else [f"data_batch_{i}" for i in range(1, 6)])
+        missing = [n for n in files
+                   if not os.path.exists(os.path.join(root, n))]
+        if missing:
+            # refuse partial archives: a silently truncated split would
+            # report accuracy over a subset
+            raise FileNotFoundError(
+                f"missing CIFAR-10 {mode} batch(es) under {root!r}: "
+                f"{', '.join(missing)} - the reference bundles only "
+                "batches.meta (data stripped); place the complete "
+                "python-version batch files there to run this config")
         images: List[np.ndarray] = []
         labels: List[int] = []
-        found = False
         for name in files:
-            path = os.path.join(root, name)
-            if not os.path.exists(path):
-                continue
-            found = True
-            with open(path, "rb") as f:
+            with open(os.path.join(root, name), "rb") as f:
                 batch = pickle.load(f, encoding="bytes")
             data = np.asarray(batch[b"data"], np.uint8)
             images.append(data.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
             labels.extend(batch[b"labels"])
-        if not found:
-            raise FileNotFoundError(
-                f"no CIFAR-10 {mode} batches under {root!r} - the reference "
-                "bundles only batches.meta (data stripped); place the "
-                "python-version batch files there to run this config")
         self.images = np.concatenate(images, axis=0)
         self.labels = np.asarray(labels, np.int64)
         meta = os.path.join(root, "batches.meta")

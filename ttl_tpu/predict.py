@@ -54,6 +54,17 @@ def predict_directory(cfg, classnames, *, dataset=None, topk: int = 5,
     from .runner import load_model, make_adapters0
 
     clip_cfg, params = load_model(cfg)
+    from .models.clip import VisionConfig
+    if cfg.tta_steps > 0 and cfg.lora_encoder == "prompt":
+        raise ValueError(
+            "batch prediction serves the LoRA modes (lora_encoder="
+            "'image'|'text'); for TPT prompt adaptation use the CLI runner")
+    if cfg.tta_steps > 0 and cfg.lora_encoder == "image" \
+            and not isinstance(clip_cfg.vision, VisionConfig):
+        raise ValueError(
+            f"arch {cfg.arch!r} has a ResNet vision tower; image-encoder "
+            "LoRA adaptation requires a ViT backbone. Use "
+            "--lora_encoder text or --tta_steps 0.")
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     toks = jnp.asarray(prompt_tokens(classnames,
                                      cfg.ctx_init.replace("_", " ")))
@@ -88,12 +99,12 @@ def predict_directory(cfg, classnames, *, dataset=None, topk: int = 5,
         n = logits.shape[0] - batch.pad
         probs = np.exp(logits[:n] - logits[:n].max(-1, keepdims=True))
         probs /= probs.sum(-1, keepdims=True)
+        paths = getattr(ds, "paths", None)  # avoid re-decoding via ds[i]
         for row, (p, z) in enumerate(zip(probs, zs)):
             order = np.argsort(-p)[:topk]
-            item = ds[int(batch.indices[row])][0]
+            idx = int(batch.indices[row])
             out.write(json.dumps({
-                "path": item if isinstance(item, str) else int(
-                    batch.indices[row]),
+                "path": paths[idx] if paths is not None else idx,
                 "label": classnames[int(order[0])],
                 "topk": [{"label": classnames[int(i)],
                           "prob": round(float(p[i]), 6)} for i in order],
@@ -128,6 +139,8 @@ def main(argv=None):
     p.add_argument("--resolution", default=224, type=int)
     p.add_argument("--checkpoint_path", default=None)
     p.add_argument("--tta_steps", default=1, type=int)
+    p.add_argument("--lora_encoder", default="image",
+                   choices=["image", "text"])
     p.add_argument("--sample_batch", default=8, type=int)
     p.add_argument("--topk", default=5, type=int)
     p.add_argument("--out", default=None, help="output JSONL (default "
@@ -139,6 +152,7 @@ def main(argv=None):
                     resolution=args.resolution,
                     checkpoint_path=args.checkpoint_path,
                     tta_steps=args.tta_steps,
+                    lora_encoder=args.lora_encoder,
                     sample_batch=args.sample_batch)
     classnames = (json.load(open(args.classnames))
                   if args.classnames else resolve_classnames(args.test_sets))

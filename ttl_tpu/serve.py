@@ -312,7 +312,8 @@ def main(argv=None):
                    help="max requests batched into one device step")
     p.add_argument("--mesh", action="store_true",
                    help="shard request batches over all chips (data-parallel"
-                        " serving; sample_batch must divide the data axis)")
+                        " serving; sample_batch must be a multiple of the "
+                        "data-axis size)")
     p.add_argument("--max_delay_ms", default=5.0, type=float,
                    help="how long to gather concurrent requests")
     p.add_argument("--host", default="127.0.0.1")
