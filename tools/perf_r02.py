@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant",
-                    choices=["base", "fused", "fused_f32", "fused1"])
+                    choices=["base", "fused", "fused_f32", "fused1",
+                             "quant"])
     ap.add_argument("--s", type=int, default=8)
     ap.add_argument("--classes", type=int, default=200)
     ap.add_argument("--iters", type=int, default=10)
@@ -60,10 +61,14 @@ def main():
 
     S = args.s
     cfg = TTLConfig(sample_batch=S, arch=args.arch,
-                    resolution=336 if "336" in args.arch else 224)
+                    resolution=336 if "336" in args.arch else 224,
+                    prefix_quant="int8" if args.variant == "quant" else "none")
     clip_cfg = get_arch(cfg.arch)
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
                               param_dtype=jnp.bfloat16)
+    if cfg.prefix_quant == "int8":
+        from ttl_tpu.ops.quant import attach_prefix_quant, quant_prefix_len
+        params = attach_prefix_quant(params, quant_prefix_len(cfg, clip_cfg))
     names = json.loads(
         (pathlib.Path(__file__).parent.parent / "ttl_tpu" / "data" /
          "assets" / "imagenet_classnames.json").read_text())

@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "OpenAI .pt)")
     p.add_argument("--compute_dtype", default=d.compute_dtype,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--prefix_quant", default=d.prefix_quant,
+                   choices=["none", "int8"],
+                   help="int8-quantize the frozen vision layers below the "
+                        "LoRA window (whole tower when it is frozen): "
+                        "~1.46x faster MXU GEMMs, small numeric deviation; "
+                        "default off (full-precision parity config)")
     p.add_argument("--param_dtype", default=d.param_dtype,
                    choices=["bfloat16", "float32"])
     p.add_argument("--max_samples", default=None, type=int,

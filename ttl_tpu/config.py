@@ -83,6 +83,11 @@ class TTLConfig:
     compute_dtype: str = "bfloat16"          # activations (entropy math stays fp32)
     augment_on_device: bool = True           # jit'd view pipeline vs host PIL-equivalent
     checkpoint_path: Optional[str] = None    # local CLIP weights (HF or OpenAI layout)
+    # int8-quantize the frozen vision layers the gradient never touches
+    # (below the LoRA window in image mode; the whole tower when it is
+    # frozen). ~1.46x faster GEMMs on v5e MXU (ops/quant.py); default off -
+    # full precision is the accuracy-parity configuration
+    prefix_quant: str = "none"               # none|int8
 
     @property
     def n_views(self) -> int:

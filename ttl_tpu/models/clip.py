@@ -222,6 +222,24 @@ def encoder_layer(p: Params, x: jax.Array, *, heads: int, eps: float,
     return x
 
 
+def encoder_layer_q(pq: Params, x: jax.Array, *, heads: int, eps: float,
+                    causal: bool) -> jax.Array:
+    """encoder_layer with int8 linears (ops/quant.py): used only for frozen
+    prefix layers under stop_gradient, where the LoRA contribution is exactly
+    zero and no gradient flows. Attention math and layernorms are unchanged."""
+    from ..ops.quant import linear_q
+    h = layer_norm(x, pq["ln1"], eps)
+    q = linear_q(h, pq["attn"]["q"])
+    k = linear_q(h, pq["attn"]["k"])
+    v = linear_q(h, pq["attn"]["v"])
+    a = _attention(q, k, v, heads, causal)
+    x = x + linear_q(a, pq["attn"]["o"])
+    h = layer_norm(x, pq["ln2"], eps)
+    x = x + linear_q(quick_gelu(linear_q(h, pq["mlp"]["fc1"])),
+                     pq["mlp"]["fc2"])
+    return x
+
+
 def _slice_layers(stacked: Params, lo: int, hi: int) -> Params:
     return jax.tree.map(lambda a: a[lo:hi], stacked)
 
@@ -279,6 +297,17 @@ def vision_prefix(p: Params, images: jax.Array, cfg: VisionConfig, *,
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embed"].astype(compute_dtype)
     x = layer_norm(x, p["ln_pre"], cfg.ln_eps)
+    qp = p.get("prefix_q")
+    if qp is not None:
+        nq = min(upto, qp["ln1"]["scale"].shape[0])
+
+        def body_q(h, layer_q):
+            return encoder_layer_q(layer_q, h, heads=cfg.heads,
+                                   eps=cfg.ln_eps, causal=False), None
+
+        x, _ = jax.lax.scan(body_q, x, _slice_layers(qp, 0, nq))
+        return _run_layers(p["layers"], x, nq, upto, heads=cfg.heads,
+                           eps=cfg.ln_eps, causal=False)
     return _run_layers(p["layers"], x, 0, upto, heads=cfg.heads,
                        eps=cfg.ln_eps, causal=False)
 

@@ -56,7 +56,10 @@ def param_spec(path: str, mesh: Mesh) -> P:
     if not _has_model_axis(mesh):
         return P()
     parts = tuple(path.split("/"))
-    if "layers" not in parts:
+    if "layers" not in parts or "prefix_q" in parts:
+        # prefix_q (int8 frozen-prefix copy, ops/quant.py) replicates: its
+        # per-output-channel scales would need a matching split, and the
+        # int8 layers are already the cheap path
         return P()
 
     def ends_with(*suffix):

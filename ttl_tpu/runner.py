@@ -55,6 +55,9 @@ def load_model(cfg: TTLConfig):
               "(accuracy will be chance level)", flush=True)
         params = init_clip_params(jax.random.PRNGKey(cfg.seed), clip_cfg,
                                   param_dtype=pdtype)
+    if cfg.prefix_quant == "int8":
+        from .ops.quant import attach_prefix_quant, quant_prefix_len
+        params = attach_prefix_quant(params, quant_prefix_len(cfg, clip_cfg))
     return clip_cfg, params
 
 
