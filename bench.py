@@ -108,6 +108,17 @@ def main():
         results[n_classes] = measure(clip_cfg, cfg, params, text_cls,
                                      adapters0, canv, hs, ws)
 
+    # opt-in int8 frozen-prefix variant (--prefix_quant int8): reported as
+    # an auxiliary figure; the primary metric stays the full-precision
+    # (accuracy-parity) configuration
+    from ttl_tpu.ops.quant import attach_prefix_quant, quant_prefix_len
+    qcfg = cfg.replace(prefix_quant="int8")
+    qparams = attach_prefix_quant(params, quant_prefix_len(qcfg, clip_cfg))
+    toks = jnp.asarray(prompt_tokens(names[:200]))
+    text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
+    quant_sps = measure(clip_cfg, qcfg, qparams, text_cls, adapters0,
+                        canv, hs, ws, windows=3)
+
     sps = results[200]
     print(json.dumps({
         "metric": "adapted samples/sec/chip (64-view TTL step, ViT-B/16)",
@@ -115,6 +126,7 @@ def main():
         "unit": "samples/s/chip",
         "vs_baseline": round(sps / 200.0, 4),
         "value_1000_classes": round(results[1000], 2),
+        "value_int8_prefix": round(quant_sps, 2),
     }))
 
 
