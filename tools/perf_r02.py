@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant",
                     choices=["base", "fused", "fused_f32", "fused1",
-                             "quant"])
+                             "quant", "tpt", "tpt_quant"])
     ap.add_argument("--s", type=int, default=8)
     ap.add_argument("--classes", type=int, default=200)
     ap.add_argument("--iters", type=int, default=10)
@@ -62,7 +62,10 @@ def main():
     S = args.s
     cfg = TTLConfig(sample_batch=S, arch=args.arch,
                     resolution=336 if "336" in args.arch else 224,
-                    prefix_quant="int8" if args.variant == "quant" else "none")
+                    prefix_quant=("int8" if args.variant.endswith("quant")
+                                  else "none"),
+                    lora_encoder=("prompt" if args.variant.startswith("tpt")
+                                  else "image"))
     clip_cfg = get_arch(cfg.arch)
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
                               param_dtype=jnp.bfloat16)
@@ -87,7 +90,19 @@ def main():
     valid = np.ones((S,), bool)
     count_fn = make_count_fn()
 
-    if args.variant == "base":
+    if args.variant.startswith("tpt"):
+        from ttl_tpu.adapt.ttl import make_fused_tpt_fn
+        from ttl_tpu.models.prompts import init_prompt_learner
+        pl_state = init_prompt_learner(
+            params["text"]["token_embed"].astype(jnp.float32),
+            names[:args.classes], cfg.ctx_init)
+        tpt_fn = make_fused_tpt_fn(clip_cfg, cfg)
+
+        def step(i):
+            idxs = np.arange(S, dtype=np.int32) + i * S
+            res, _ = tpt_fn(params, pl_state, canv, hs, ws, idxs)
+            return count_fn(res.logits, labels, valid)
+    elif args.variant == "base":
         view_fn = make_batched_view_fn(cfg.batch_size, cfg.resolution)
         adapt_fn = make_batched_ttl_fn(clip_cfg, cfg)
         root = jax.random.PRNGKey(cfg.seed)

@@ -109,9 +109,12 @@ def make_cocoop_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
         n_cls = state.prefix.shape[0]
         ctx_block = jnp.broadcast_to(ctx_row, (n_cls, *ctx_row.shape))
         embs = jnp.concatenate([state.prefix, ctx_block, state.suffix], axis=1)
+        # remat for the same reason as the TPT path (adapt/ttl.py): the
+        # text tower is differentiated w.r.t. pgen_ctx each step and its
+        # saved attention probs OOM real class counts otherwise
         tf = text_features_from_embeddings(params["text"], embs,
                                            state.tokenized, clip_cfg.text,
-                                           compute_dtype=cd)
+                                           compute_dtype=cd, remat=True)
         return l2_normalize(tf)
 
     def adapt_and_infer(params, state, views, key):

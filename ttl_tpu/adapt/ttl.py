@@ -445,16 +445,27 @@ def make_tpt_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
                 import dataclasses as _dc
                 state = _dc.replace(pl_state, cls=tr["cls"])
             embs = state.assemble(tr["ctx"])
+            # remat: the whole text tower is differentiated w.r.t. ctx each
+            # step; without it the saved attention probs OOM real class
+            # counts (200-class TPT wanted 44 GB at sample_batch 8)
             tf = l2_normalize(text_features_from_embeddings(
                 params["text"], embs, pl_state.tokenized, clip_cfg.text,
-                compute_dtype=cd))
+                compute_dtype=cd, remat=True))
             return ls * vf @ tf.T
 
         tr0 = {"ctx": pl_state.ctx_init}
         if learn_cls:
             tr0["cls"] = pl_state.cls_init
 
-        zs = jax.lax.stop_gradient(logits_for(tr0))[0]
+        # one initial-state forward serves BOTH the zero-shot logits and the
+        # confident-view selection: the reference selects once on the first
+        # step's forward and freezes the indices (ttl.py:97-100), and at the
+        # first step the model state IS the initial state - so the per-step
+        # stop-grad selection forward the scan used to run was pure waste
+        # (one of four text-tower forwards per sample at tta_steps=1)
+        logits0 = jax.lax.stop_gradient(logits_for(tr0))
+        zs = logits0[0]
+        _, _, sel_mask = select_confident(logits0, k_sel)
 
         def loss_fn(tr, sel_mask):
             return tpt_loss(logits_for(tr), sel_mask), None
@@ -462,19 +473,15 @@ def make_tpt_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
         opt_state = opt.init(tr0)
 
         def step(carry, _):
-            tr, opt_state, sel_mask, is_first = carry
-            logits = jax.lax.stop_gradient(logits_for(tr))
-            _, _, new_mask = select_confident(logits, k_sel)
-            sel_mask = jnp.where(is_first, new_mask, sel_mask)
+            tr, opt_state = carry
             (loss, _), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(tr, sel_mask)
             updates, opt_state = opt.update(grads, opt_state, tr)
             tr = optax.apply_updates(tr, updates)
-            return (tr, opt_state, sel_mask, jnp.zeros((), bool)), loss
+            return (tr, opt_state), loss
 
-        (tr, _, _, _), losses = jax.lax.scan(
-            step, (tr0, opt_state, jnp.ones((cfg.batch_size,), bool),
-                   jnp.ones((), bool)), None, length=steps)
+        (tr, _), losses = jax.lax.scan(
+            step, (tr0, opt_state), None, length=steps)
         out = jax.lax.stop_gradient(logits_for(tr))[0]
         return AdaptResult(logits=out, losses=losses, zero_shot_logits=zs,
                            adapters={}), tr["ctx"]

@@ -412,16 +412,24 @@ def encode_image(p: Params, images: jax.Array, vision_cfg, *,
 
 def text_features_from_embeddings(p: Params, embeddings: jax.Array,
                                   tokens: jax.Array, cfg: TextConfig, *,
-                                  compute_dtype=jnp.bfloat16) -> jax.Array:
+                                  compute_dtype=jnp.bfloat16,
+                                  remat: bool = False) -> jax.Array:
     """Prompt *embeddings* [N, ctx, hidden] -> projected features [N, proj].
 
     The TPT/CoOp path assembles prompts in embedding space (tunable ctx
     spliced between SOS/suffix buffers) and runs them through the text tower
     (custom_clip_old.py:62-96); `tokens` is still needed for EOT pooling.
+
+    `remat=True` checkpoints each layer of the scan (exact math, activations
+    recomputed in backward). The TPT/CoCoOp adaptation paths differentiate
+    this whole tower w.r.t. the ctx embeddings at every update step, and the
+    saved per-layer attention probs [N_cls, H, 77, 77] are what blow HBM at
+    real class counts (measured: 200-class TPT at sample_batch 8 wants 44 GB
+    without remat, 16 GB chip).
     """
     x = embeddings.astype(compute_dtype) + p["pos_embed"].astype(compute_dtype)
     x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
-                    eps=cfg.ln_eps, causal=True)
+                    eps=cfg.ln_eps, causal=True, remat=remat)
     x = layer_norm(x, p["ln_final"], cfg.ln_eps)
     pooled = x[jnp.arange(x.shape[0]), jnp.argmax(tokens, axis=-1)]
     return jnp.matmul(pooled.astype(jnp.float32), p["proj"].astype(jnp.float32))
