@@ -27,7 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant",
                     choices=["base", "fused", "fused_f32", "fused1",
-                             "quant", "tpt", "tpt_quant"])
+                             "quant", "tpt", "tpt_quant", "cocoop",
+                             "cocoop_quant", "text", "text_quant"])
     ap.add_argument("--s", type=int, default=8)
     ap.add_argument("--classes", type=int, default=200)
     ap.add_argument("--iters", type=int, default=10)
@@ -64,7 +65,9 @@ def main():
                     resolution=336 if "336" in args.arch else 224,
                     prefix_quant=("int8" if args.variant.endswith("quant")
                                   else "none"),
+                    cocoop=args.variant.startswith("cocoop"),
                     lora_encoder=("prompt" if args.variant.startswith("tpt")
+                                  else "text" if args.variant.startswith("text")
                                   else "image"))
     clip_cfg = get_arch(cfg.arch)
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
@@ -78,9 +81,10 @@ def main():
     toks = jnp.asarray(prompt_tokens(names[:args.classes]))
     text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
     n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
+    adapter_d = (clip_cfg.text.hidden if cfg.lora_encoder == "text"
+                 else clip_cfg.vision.hidden)
     adapters0 = init_adapters(jax.random.PRNGKey(1), n_window,
-                              clip_cfg.vision.hidden, cfg.rank,
-                              cfg.init_method)
+                              adapter_d, cfg.rank, cfg.init_method)
 
     rng = np.random.RandomState(0)
     canv = (rng.rand(S, 512, 512, 3) * 255).astype(np.uint8)
@@ -90,7 +94,27 @@ def main():
     valid = np.ones((S,), bool)
     count_fn = make_count_fn()
 
-    if args.variant.startswith("tpt"):
+    if args.variant.startswith("cocoop"):
+        from ttl_tpu.adapt.cocoop import init_cocoop
+        from ttl_tpu.adapt.ttl import make_fused_cocoop_fn
+        co_state = init_cocoop(
+            params["text"]["token_embed"].astype(jnp.float32),
+            names[:args.classes], clip_cfg.vision.proj_dim,
+            jax.random.PRNGKey(cfg.seed), cfg.ctx_init)
+        co_fn = make_fused_cocoop_fn(clip_cfg, cfg)
+
+        def step(i):
+            idxs = np.arange(S, dtype=np.int32) + i * S
+            res = co_fn(params, co_state, canv, hs, ws, idxs)
+            return count_fn(res.logits, labels, valid)
+    elif args.variant.startswith("text"):
+        fused = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks)
+
+        def step(i):
+            idxs = np.arange(S, dtype=np.int32) + i * S
+            res = fused(params, text_cls, adapters0, canv, hs, ws, idxs)
+            return count_fn(res.logits, labels, valid)
+    elif args.variant.startswith("tpt"):
         from ttl_tpu.adapt.ttl import make_fused_tpt_fn
         from ttl_tpu.models.prompts import init_prompt_learner
         pl_state = init_prompt_learner(

@@ -246,7 +246,19 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             (batch.canvases, batch.heights, batch.widths,
              batch.indices.astype(np.int32),
              batch.labels.astype(np.int32), valid))
-        res = step_fn(params, *state, canv, hs, ws, idxs)
+        try:
+            res = step_fn(params, *state, canv, hs, ws, idxs)
+        except Exception as e:  # surface the one actionable knob
+            if "out of memory" in str(e).lower():
+                raise RuntimeError(
+                    f"device OOM compiling the {set_id} step at "
+                    f"sample_batch={cfg.sample_batch} with "
+                    f"{len(classnames)} classes; reduce --sample_batch "
+                    "(per-sample results are batch-invariant). Measured "
+                    "fits on one 16 GB v5e: TTL image mode 8/1000, "
+                    "text mode 4/1000, TPT-prompt 4/1000 (PERF_NOTES.md)"
+                ) from e
+            raise
         return count_fn(get_logits(res), labels, valid)
 
     # keep a couple of device steps in flight so the host-side fetch and
