@@ -78,8 +78,11 @@ def main():
     names = json.loads(
         (pathlib.Path(__file__).parent.parent / "ttl_tpu" / "data" /
          "assets" / "imagenet_classnames.json").read_text())
-    toks = jnp.asarray(prompt_tokens(names[:args.classes]))
-    text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
+    if not args.variant.startswith(("tpt", "cocoop")):
+        # the prompt-adaptation variants build their own prompt state; the
+        # frozen-classifier encode of up to 1000 prompts is dead work there
+        toks = jnp.asarray(prompt_tokens(names[:args.classes]))
+        text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
     n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
     adapter_d = (clip_cfg.text.hidden if cfg.lora_encoder == "text"
                  else clip_cfg.vision.hidden)

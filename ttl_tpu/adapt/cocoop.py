@@ -131,23 +131,25 @@ def make_cocoop_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
         def loss_fn(ctx_row, mask):
             return tpt_loss(logits_for(ctx_row), mask), None
 
+        # confident-view selection is frozen on the first step's forward
+        # (ttl.py:97-100), which is the initial-state (pgen_ctx0) forward -
+        # hoisted out of the scan exactly as in the TPT path (adapt/ttl.py),
+        # saving one stop-grad text-tower forward per step
+        _, _, mask = select_confident(
+            jax.lax.stop_gradient(logits_for(pgen_ctx0)), k_sel)
+
         opt_state = opt.init(pgen_ctx0)
 
         def step(carry, _):
-            ctx_row, opt_state, mask, is_first = carry
-            logits = jax.lax.stop_gradient(logits_for(ctx_row))
-            _, _, new_mask = select_confident(logits, k_sel)
-            mask = jnp.where(is_first, new_mask, mask)
+            ctx_row, opt_state = carry
             (loss, _), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(ctx_row, mask)
             updates, opt_state = opt.update(grads, opt_state, ctx_row)
             ctx_row = ctx_row + updates
-            return (ctx_row, opt_state, mask, jnp.zeros((), bool)), loss
+            return (ctx_row, opt_state), loss
 
-        (ctx_adapted, _, _, _), losses = jax.lax.scan(
-            step, (pgen_ctx0, opt_state,
-                   jnp.ones((views.shape[0],), bool), jnp.ones((), bool)),
-            None, length=cfg.tta_steps)
+        (ctx_adapted, _), losses = jax.lax.scan(
+            step, (pgen_ctx0, opt_state), None, length=cfg.tta_steps)
 
         # reference-faithful final inference: conditioned on the clean view,
         # UNadapted meta ctx (ttl.py:350-352 discards pgen_ctx)

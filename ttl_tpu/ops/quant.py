@@ -104,8 +104,7 @@ def attach_prefix_quant(params: Params, upto: int) -> Params:
         return params
     if upto <= 0 or "prefix_q" in vision:
         return params
-    n_layers = vision["ln1"]["scale"].shape[0] if "ln1" in vision else \
-        vision["layers"]["ln1"]["scale"].shape[0]
+    n_layers = vision["layers"]["ln1"]["scale"].shape[0]
     vision = dict(vision)
     vision["prefix_q"] = quantize_layer_stack(vision["layers"],
                                               min(upto, n_layers))

@@ -58,6 +58,9 @@ def load_model(cfg: TTLConfig):
     if cfg.prefix_quant == "int8":
         from .ops.quant import attach_prefix_quant, quant_prefix_len
         params = attach_prefix_quant(params, quant_prefix_len(cfg, clip_cfg))
+    elif cfg.prefix_quant != "none":
+        raise ValueError(f"prefix_quant={cfg.prefix_quant!r}: expected "
+                         "'none' or 'int8'")
     return clip_cfg, params
 
 
@@ -218,6 +221,27 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
     from .parallel.eval import make_count_fn
     count_fn = make_count_fn(mesh)
 
+    import contextlib
+
+    @contextlib.contextmanager
+    def _oom_hint():
+        """Surface the one actionable knob on device OOM. Wraps both the
+        dispatch (compile-time OOM) and the result fetch (async execution
+        OOM is deferred by JAX to the blocking np.asarray in drain)."""
+        try:
+            yield
+        except Exception as e:
+            if "out of memory" in str(e).lower():
+                raise RuntimeError(
+                    f"device OOM on the {set_id} step at "
+                    f"sample_batch={cfg.sample_batch} with "
+                    f"{len(classnames)} classes; reduce --sample_batch "
+                    "(per-sample results are batch-invariant). Measured "
+                    "fits on one 16 GB v5e: TTL image mode 8/1000, "
+                    "text mode 4/1000, TPT-prompt 4/1000 (PERF_NOTES.md)"
+                ) from e
+            raise
+
     batch_time = AverageMeter("Time", ":6.3f", Summary.NONE)
     top1 = AverageMeter("Acc@1", ":6.2f", Summary.AVERAGE)
     top5 = AverageMeter("Acc@5", ":6.2f", Summary.AVERAGE)
@@ -246,19 +270,8 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             (batch.canvases, batch.heights, batch.widths,
              batch.indices.astype(np.int32),
              batch.labels.astype(np.int32), valid))
-        try:
+        with _oom_hint():
             res = step_fn(params, *state, canv, hs, ws, idxs)
-        except Exception as e:  # surface the one actionable knob
-            if "out of memory" in str(e).lower():
-                raise RuntimeError(
-                    f"device OOM compiling the {set_id} step at "
-                    f"sample_batch={cfg.sample_batch} with "
-                    f"{len(classnames)} classes; reduce --sample_batch "
-                    "(per-sample results are batch-invariant). Measured "
-                    "fits on one 16 GB v5e: TTL image mode 8/1000, "
-                    "text mode 4/1000, TPT-prompt 4/1000 (PERF_NOTES.md)"
-                ) from e
-            raise
         return count_fn(get_logits(res), labels, valid)
 
     # keep a couple of device steps in flight so the host-side fetch and
@@ -269,7 +282,8 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
     end = time.time()
 
     def drain(i, pending):
-        c1, c5, n = (int(x) for x in np.asarray(pending))
+        with _oom_hint():
+            c1, c5, n = (int(x) for x in np.asarray(pending))
         if n > 0:
             top1.update(100.0 * c1 / n, n)
             top5.update(100.0 * c5 / n, n)
