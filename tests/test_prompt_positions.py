@@ -22,7 +22,12 @@ def test_assembly_matches_reference_layout(tok_embed, pos):
     pl = init_prompt_learner(tok_embed, CLASSES, "a_photo_of_a",
                              ctx_position=pos)
     out = np.asarray(pl.assemble())
-    assert out.shape == (len(CLASSES), 77, D)
+    # prompts are EOT-truncated to a multiple of 8 (needed_ctx_len; the
+    # exactness of the truncation is pinned by test_ctx_truncation.py)
+    L = pl.tokenized.shape[1]
+    assert L % 8 == 0 and L <= 77
+    assert L > int(np.asarray(pl.tokenized).argmax(-1).max())
+    assert out.shape == (len(CLASSES), L, D)
 
     emb = np.asarray(tok_embed[np.asarray(pl.tokenized)])
     ctx = np.asarray(pl.ctx)
@@ -58,7 +63,7 @@ def test_learned_cls_branch(tok_embed):
                              key=jax.random.PRNGKey(5))
     assert pl.cls.shape == (len(CLASSES), 1, D)
     out = pl.assemble()
-    assert out.shape == (len(CLASSES), 77, D)
+    assert out.shape == (len(CLASSES), pl.tokenized.shape[1], D)
     # the cls vector sits right after the ctx block
     np.testing.assert_allclose(np.asarray(out[:, 1 + pl.n_ctx: 2 + pl.n_ctx]),
                                np.asarray(pl.cls), atol=1e-6)

@@ -63,7 +63,10 @@ class TorchTinyText(torch.nn.Module):
             self.layers.append(layer)
 
     def forward(self, emb, tokens):
-        x = emb + self.pos_embed
+        # slice pos_embed to the (EOT-truncated) prompt length, mirroring
+        # text_features_from_embeddings - the truncation itself is pinned
+        # exact by tests/test_ctx_truncation.py
+        x = emb + self.pos_embed[: emb.shape[1]]
         s = x.shape[1]
         causal = torch.triu(torch.full((s, s), float("-inf")), diagonal=1)
         for lp in self.layers:

@@ -40,22 +40,30 @@ class CoCoOpState:
     meta_w2: jax.Array    # [proj_dim // 16, d]
     meta_b2: jax.Array
     prefix: jax.Array     # [C, 1, d]
-    suffix: jax.Array     # [C, 77 - 1 - n_ctx, d]
-    tokenized: jax.Array  # [C, 77]
+    suffix: jax.Array     # [C, L - 1 - n_ctx, d]
+    tokenized: jax.Array  # [C, L]  (L <= 77, EOT-truncated)
     n_ctx: int = dataclasses.field(metadata={"static": True})
 
 
 def init_cocoop(token_embed: jax.Array, classnames: Sequence[str],
                 proj_dim: int, key: jax.Array,
-                ctx_init: str = "a_photo_of_a") -> CoCoOpState:
+                ctx_init: str = "a_photo_of_a",
+                truncate: bool = True) -> CoCoOpState:
     """Random meta-net init (torch Linear default: U(+-1/sqrt(fan_in))); a
     trained CoCoOp checkpoint can overwrite the fields via load_prompt_ckpt.
+    `truncate` drops prompt padding past the longest EOT (exact -
+    models/prompts.needed_ctx_len; the text tower re-encodes these prompts
+    every adaptation step).
     """
+    from ..models.prompts import needed_ctx_len
     tk = default_tokenizer()
     phrase = ctx_init.replace("_", " ")
     n_ctx = len(phrase.split(" "))
     ids = tk.encode(phrase)
-    toks = jnp.asarray(prompt_tokens(classnames, phrase))
+    toks = prompt_tokens(classnames, phrase)
+    if truncate:
+        toks = toks[:, : needed_ctx_len(toks)]
+    toks = jnp.asarray(toks)
     embedding = token_embed[toks]
     d = token_embed.shape[-1]
     hidden = proj_dim // 16

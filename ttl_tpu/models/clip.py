@@ -371,8 +371,11 @@ def text_features(p: Params, tokens: jax.Array, cfg: TextConfig, *,
     unnormalized). EOT pooling via argmax over ids (the EOT id is the
     largest in any sequence - clip/model.py:362-375 / HF CLIPTextTransformer).
     """
+    # pos_embed sliced to the token table's (possibly truncated) length:
+    # causal attention + EOT pooling make padding past the longest EOT dead
+    # compute (models/prompts.needed_ctx_len), so callers may pass a prefix
     x = p["token_embed"][tokens].astype(compute_dtype)
-    x = x + p["pos_embed"].astype(compute_dtype)
+    x = x + p["pos_embed"][: x.shape[1]].astype(compute_dtype)
 
     lo, hi = adapter_window
     if adapters is None:
@@ -427,7 +430,8 @@ def text_features_from_embeddings(p: Params, embeddings: jax.Array,
     real class counts (measured: 200-class TPT at sample_batch 8 wants 44 GB
     without remat, 16 GB chip).
     """
-    x = embeddings.astype(compute_dtype) + p["pos_embed"].astype(compute_dtype)
+    x = embeddings.astype(compute_dtype) \
+        + p["pos_embed"][: embeddings.shape[1]].astype(compute_dtype)
     x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
                     eps=cfg.ln_eps, causal=True, remat=remat)
     x = layer_norm(x, p["ln_final"], cfg.ln_eps)

@@ -51,14 +51,35 @@ def prompt_tokens(classnames: Sequence[str],
                      for c in classnames])
 
 
+def needed_ctx_len(tokens, multiple: int = 8) -> int:
+    """Static text-sequence length a token table actually needs.
+
+    CLIP pads every prompt to 77 tokens, but the text tower is causal and
+    pools at the EOT position (the largest token id), so positions after the
+    longest EOT are dead compute: truncating to max(EOT)+1 (rounded up to a
+    TPU-tile-friendly multiple) is EXACT - every pooled feature is
+    unchanged. Real classname tables need ~16 of 77 positions, a ~4.8x cut
+    in text-tower FLOPs/memory everywhere the table is (re-)encoded: the
+    per-dataset classifier build, and every adaptation step of the
+    TPT-prompt / CoCoOp / text-LoRA modes. The reference always pays the
+    full 77 (clip/clip.py:196-232 pads; the towers never slice)."""
+    eot = int(np.asarray(tokens).argmax(axis=-1).max())
+    full = int(np.asarray(tokens).shape[-1])
+    return min(-(-(eot + 1) // multiple) * multiple, full)
+
+
 def build_text_classifier(params, tokens: jax.Array, cfg: TextConfig, *,
                           compute_dtype=jnp.bfloat16,
-                          batch: int = 256) -> jax.Array:
+                          batch: int = 256,
+                          truncate: bool = True) -> jax.Array:
     """Encode a token table into an L2-normalized [C, proj_dim] classifier.
 
     Encoding is chunked so a 1000-class table doesn't peak memory; the result
     matches ClipTestTimeTuning.get_text_features (custom_clip.py:651-663).
+    `truncate` drops the dead padding positions (needed_ctx_len; exact).
     """
+    if truncate:
+        tokens = tokens[:, : needed_ctx_len(tokens)]
     feats = []
     n = tokens.shape[0]
     enc = jax.jit(lambda p, t: text_features(p, t, cfg,
@@ -108,8 +129,9 @@ class PromptLearnerState:
     ctx: jax.Array           # [n_ctx, d] - the ONLY trainable tensor
     ctx_init: jax.Array      # snapshot for reset
     prefix: jax.Array        # [C, 1, d] SOS embedding
-    suffix: jax.Array        # [C, 77 - 1 - n_ctx, d] class tokens + EOT + pad
-    tokenized: jax.Array     # [C, 77] for EOT-position pooling
+    suffix: jax.Array        # [C, L - 1 - n_ctx, d] class tokens + EOT + pad
+    tokenized: jax.Array     # [C, L] for EOT-position pooling (L <= 77:
+                             # padding past the longest EOT is truncated)
     name_lens: jax.Array     # [C] class-name token counts (middle/front)
     n_ctx: int = dataclasses.field(metadata={"static": True})
     prompt_prefix: str = dataclasses.field(metadata={"static": True})
@@ -178,13 +200,15 @@ def init_prompt_learner(token_embed: jax.Array, classnames: Sequence[str],
                         ctx_init: str = "a_photo_of_a",
                         ctx_position: str = "end",
                         learned_cls: bool = False,
-                        key: Optional[jax.Array] = None
-                        ) -> PromptLearnerState:
+                        key: Optional[jax.Array] = None,
+                        truncate: bool = True) -> PromptLearnerState:
     """Build the prompt-learner buffers from the (frozen) token embedding
     table. ctx vectors are the embeddings of the init phrase
     (custom_clip.py:243-269). With `learned_cls`, each class gets a random
     1-token learnable vector in place of its name ("X" placeholder prompts,
-    custom_clip.py:301-310)."""
+    custom_clip.py:301-310). `truncate` drops the dead padding positions
+    past the longest EOT (needed_ctx_len; exact - the adaptation steps
+    re-encode these prompts constantly)."""
     tk = default_tokenizer()
     phrase = ctx_init.replace("_", " ")
     n_ctx = len(phrase.split(" "))
@@ -196,7 +220,9 @@ def init_prompt_learner(token_embed: jax.Array, classnames: Sequence[str],
         raise ValueError("learned_cls requires ctx_position='end'")
     if learned_cls:
         prompts = [f"{phrase} X." for _ in classnames]
-        toks = jnp.asarray(tokenize(prompts))
+        toks = np.asarray(tokenize(prompts))
+        ctx_len = needed_ctx_len(toks) if truncate else toks.shape[-1]
+        toks = jnp.asarray(toks[:, :ctx_len])
         embedding = token_embed[toks]
         n_cls = len(classnames)
         d = token_embed.shape[-1]
@@ -206,8 +232,10 @@ def init_prompt_learner(token_embed: jax.Array, classnames: Sequence[str],
         suffix = embedding[:, 1 + n_ctx + 1:]  # skip the X slot
         name_lens = jnp.ones((n_cls,), jnp.int32)
     else:
-        toks = jnp.asarray(prompt_tokens(classnames, phrase))
-        embedding = token_embed[toks]  # [C, 77, d]
+        toks = prompt_tokens(classnames, phrase)
+        ctx_len = needed_ctx_len(toks) if truncate else toks.shape[-1]
+        toks = jnp.asarray(toks[:, :ctx_len])
+        embedding = token_embed[toks]  # [C, ctx_len, d]
         cls_vec = None
         suffix = embedding[:, 1 + n_ctx:]
         name_lens = jnp.asarray([len(tk.encode(c.replace("_", " ")))

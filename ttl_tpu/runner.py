@@ -86,7 +86,11 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                      prompt_ckpt: Optional[dict] = None) -> List[float]:
     """One dataset: returns [top1, top5] percentages (ttl.py:300-363)."""
     classnames = resolve_classnames(set_id)
-    toks = jnp.asarray(prompt_tokens(classnames, cfg.ctx_init.replace("_", " ")))
+    from .models.prompts import needed_ctx_len
+    toks_np = prompt_tokens(classnames, cfg.ctx_init.replace("_", " "))
+    # drop prompt padding past the longest EOT (exact; the text-LoRA mode
+    # re-encodes this table every adaptation step)
+    toks = jnp.asarray(toks_np[:, : needed_ctx_len(toks_np)])
 
     if dataset is None:
         dataset = build_dataset(set_id, cfg)
@@ -236,9 +240,9 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                     f"device OOM on the {set_id} step at "
                     f"sample_batch={cfg.sample_batch} with "
                     f"{len(classnames)} classes; reduce --sample_batch "
-                    "(per-sample results are batch-invariant). Measured "
-                    "fits on one 16 GB v5e: TTL image mode 8/1000, "
-                    "text mode 4/1000, TPT-prompt 4/1000 (PERF_NOTES.md)"
+                    "(per-sample results are batch-invariant). Every mode "
+                    "measured fitting 8/1000 classes on one 16 GB v5e with "
+                    "the EOT-truncated prompts (PERF_NOTES.md)"
                 ) from e
             raise
 
