@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_ctx", default=d.n_ctx, type=int)
     p.add_argument("--ctx_init", default=d.ctx_init, type=str)
     p.add_argument("--cocoop", action="store_true", default=d.cocoop)
+    p.add_argument("--ensemble", action="store_true", default=d.ensemble,
+                   help="80-template ensemble text classifier (the "
+                        "README's 'Ensemble (80 prompts)' baseline)")
     p.add_argument("--load", default=d.load, type=str)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--images_per_class", default=d.images_per_class, type=int)

@@ -41,6 +41,13 @@ class TTLConfig:
 
     seed: int = 0
 
+    # 80-template ensemble text classifier (the reference's MyClip
+    # zeroshot_classifier, custom_clip_old.py:534-630, and the README's
+    # "Ensemble (80 prompts)" baseline row): per class, mean of the
+    # normalized per-template embeddings, re-normalized. Replaces the
+    # single-template classifier wherever the text tower is frozen
+    ensemble: bool = False
+
     # --- LoRA (reference: ttl.py:402-405)
     layer_range: Tuple[int, int] = (9, 11)   # inclusive trainable/reset layer range
     init_method: Optional[str] = "xavier"    # xavier|gaussian|kaiming|pretrained|None

@@ -98,18 +98,27 @@ def build_text_classifier(params, tokens: jax.Array, cfg: TextConfig, *,
 def build_ensemble_classifier(text_params, classnames: Sequence[str],
                               cfg: TextConfig, *,
                               templates: Sequence[str] | None = None,
-                              compute_dtype=jnp.bfloat16) -> jax.Array:
+                              compute_dtype=jnp.bfloat16,
+                              truncate: bool = True) -> jax.Array:
     """80-template ensemble: per class, mean of per-template normalized
     embeddings, re-normalized (custom_clip_old.py zeroshot_classifier
-    semantics). `text_params` is the text-tower pytree (params['text'])."""
+    semantics). `text_params` is the text-tower pytree (params['text']).
+
+    With `truncate`, all C x T prompts are tokenized up front and encoded at
+    one global EOT-truncated length (needed_ctx_len; exact, and one static
+    shape so the per-class encode compiles once)."""
     templates = list(templates or load_imagenet_templates())
+    per_class = [
+        tokenize([t.format(cls.replace("_", " ")) for t in templates])
+        for cls in classnames]
+    if truncate:
+        ctx_len = needed_ctx_len(np.concatenate(per_class, axis=0))
+        per_class = [t[:, :ctx_len] for t in per_class]
     out = []
     enc = jax.jit(lambda p, t: text_features(p, t, cfg,
                                              compute_dtype=compute_dtype))
-    for cls in classnames:
-        toks = jnp.asarray(tokenize(
-            [t.format(cls.replace("_", " ")) for t in templates]))
-        emb = l2_normalize(enc(text_params, toks))
+    for toks in per_class:
+        emb = l2_normalize(enc(text_params, jnp.asarray(toks)))
         mean = jnp.mean(emb, axis=0)
         out.append(mean / jnp.linalg.norm(mean))
     return jnp.stack(out)

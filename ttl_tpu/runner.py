@@ -204,6 +204,10 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                 jclip.text_features_from_embeddings(
                     params["text"], pl_state.assemble(pl_state.ctx_init),
                     pl_state.tokenized, clip_cfg.text, compute_dtype=cd))
+        elif cfg.ensemble:
+            from .models.prompts import build_ensemble_classifier
+            text_cls = build_ensemble_classifier(
+                params["text"], classnames, clip_cfg.text, compute_dtype=cd)
         else:
             text_cls = build_text_classifier(
                 params["text"], toks, clip_cfg.text, compute_dtype=cd)
