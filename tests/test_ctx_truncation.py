@@ -93,7 +93,7 @@ def test_tpt_mode_truncation_exact():
                                rtol=0, atol=1e-5)
 
 
-def test_tpt_middle_position_truncation_exact():
+def test_tpt_position_truncation_exact():
     from ttl_tpu.adapt.ttl import make_fused_tpt_fn
 
     cfg = CFG.replace(lora_encoder="prompt")
@@ -101,13 +101,25 @@ def test_tpt_middle_position_truncation_exact():
     canv, hs, ws, idxs = _batch()
     fn = make_fused_tpt_fn(TEST_TINY, cfg)
     emb = params["text"]["token_embed"].astype(jnp.float32)
-    out = []
-    for truncate in (False, True):
-        res, _ = fn(params, init_prompt_learner(
-            emb, CLASSNAMES, ctx_position="middle", truncate=truncate),
-            canv, hs, ws, idxs)
-        out.append(np.asarray(res.logits))
-    np.testing.assert_allclose(out[1], out[0], rtol=0, atol=1e-4)
+    for position in ("middle", "front"):
+        out = []
+        for truncate in (False, True):
+            res, _ = fn(params, init_prompt_learner(
+                emb, CLASSNAMES, ctx_position=position, truncate=truncate),
+                canv, hs, ws, idxs)
+            out.append(np.asarray(res.logits))
+        np.testing.assert_allclose(out[1], out[0], rtol=0, atol=1e-4,
+                                   err_msg=position)
+
+
+def test_text_mode_builder_truncates_internally():
+    """predict/serve pass full-77 tables; the step builders must truncate
+    (adapt/ttl._truncate_tokens) so every surface gets the short programs."""
+    from ttl_tpu.adapt.ttl import _truncate_tokens
+    toks = prompt_tokens(CLASSNAMES)
+    t = _truncate_tokens(jnp.asarray(toks))
+    assert t.shape[1] == needed_ctx_len(toks) < 77
+    assert _truncate_tokens(None) is None
 
 
 def test_cocoop_truncation_exact():

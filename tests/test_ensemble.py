@@ -67,3 +67,21 @@ def test_cli_flag():
     cfg = config_from_args(build_parser().parse_args(["--ensemble"]))
     assert cfg.ensemble
     assert not TTLConfig().ensemble
+
+
+def test_ensemble_rejected_where_ignored():
+    """--ensemble must error, not silently no-op, in modes that never
+    consume the frozen single-template classifier."""
+    import pytest
+
+    from ttl_tpu.runner import evaluate_dataset
+
+    base = TTLConfig(arch="test-tiny", resolution=64, batch_size=8,
+                     sample_batch=2, layer_range=(1, 2), rank=4,
+                     compute_dtype="float32", param_dtype="float32",
+                     ensemble=True)
+    for cfg in (base.replace(lora_encoder="text"),
+                base.replace(lora_encoder="prompt"),
+                base.replace(cocoop=True)):
+        with pytest.raises(ValueError, match="ensemble"):
+            evaluate_dataset("cifar10", cfg, None, None, None, dataset=[])

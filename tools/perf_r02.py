@@ -111,8 +111,7 @@ def main():
             res = co_fn(params, co_state, canv, hs, ws, idxs)
             return count_fn(res.logits, labels, valid)
     elif args.variant.startswith("text"):
-        from ttl_tpu.models.prompts import needed_ctx_len
-        toks = toks[:, : needed_ctx_len(toks)]
+        # make_fused_ttl_fn EOT-truncates the table internally
         fused = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks)
 
         def step(i):

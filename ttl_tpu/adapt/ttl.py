@@ -247,6 +247,16 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
     return adapt_one
 
 
+def _truncate_tokens(tokens: Optional[jax.Array]) -> Optional[jax.Array]:
+    """EOT-truncate a concrete token table (exact; prompts.needed_ctx_len).
+    Centralized here so every surface that builds a text-LoRA step (runner,
+    predict, serve, bench tools) gets the short programs."""
+    if tokens is None:
+        return None
+    from ..models.prompts import needed_ctx_len
+    return tokens[:, : needed_ctx_len(tokens)]
+
+
 def make_batched_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
                         tokens: Optional[jax.Array] = None):
     """vmap the episodic program over a batch of test samples and jit it.
@@ -260,6 +270,7 @@ def make_batched_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
     """
     adapt_one = make_ttl_adapt_fn(clip_cfg, cfg)
     if cfg.lora_encoder == "text":
+        tokens = _truncate_tokens(tokens)
         fn = lambda p, tc, a0, v, k: adapt_one(p, tc, a0, v, k, tokens=tokens)
     else:
         fn = adapt_one
@@ -330,7 +341,8 @@ def make_fused_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
     """
     view_fn = _make_view_fn_for(cfg)
     adapt_one = make_ttl_adapt_fn(clip_cfg, cfg)
-    toks = tokens if cfg.lora_encoder == "text" else None
+    toks = (_truncate_tokens(tokens) if cfg.lora_encoder == "text"
+            else None)
 
     def one(params, text_cls, adapters0, canvas, h, w, idx):
         key = sample_key(cfg.seed, idx)

@@ -153,7 +153,8 @@ class PromptLearnerState:
     cls_init: Optional[jax.Array] = None
 
     def assemble(self, ctx: jax.Array | None = None) -> jax.Array:
-        """[C, 77, d] prompt embeddings with the (possibly updated) ctx
+        """[C, L, d] prompt embeddings (L = tokenized.shape[1] <= 77,
+        EOT-truncated) with the (possibly updated) ctx
         spliced at the configured class-token position
         (custom_clip.py:394-461: 'end' is the default/live path; 'middle'
         and 'front' re-order ctx around the class-name tokens)."""

@@ -86,11 +86,16 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                      prompt_ckpt: Optional[dict] = None) -> List[float]:
     """One dataset: returns [top1, top5] percentages (ttl.py:300-363)."""
     classnames = resolve_classnames(set_id)
-    from .models.prompts import needed_ctx_len
-    toks_np = prompt_tokens(classnames, cfg.ctx_init.replace("_", " "))
-    # drop prompt padding past the longest EOT (exact; the text-LoRA mode
-    # re-encodes this table every adaptation step)
-    toks = jnp.asarray(toks_np[:, : needed_ctx_len(toks_np)])
+    toks = jnp.asarray(prompt_tokens(classnames,
+                                     cfg.ctx_init.replace("_", " ")))
+    if cfg.ensemble and (cfg.cocoop or cfg.lora_encoder != "image"):
+        raise ValueError(
+            "--ensemble replaces the frozen single-template text classifier "
+            "and only applies when that classifier is consumed "
+            "(lora_encoder='image', no --cocoop); the "
+            f"requested mode (lora_encoder={cfg.lora_encoder!r}, "
+            f"cocoop={cfg.cocoop}) builds its prompts elsewhere and would "
+            "silently ignore the ensemble table")
 
     if dataset is None:
         dataset = build_dataset(set_id, cfg)
