@@ -73,7 +73,16 @@ def build_dataset(set_id: str, args, n_shot=None):
     raise NotImplementedError(f"unknown set_id {set_id!r}")
 
 
+def expected_subdir(set_id: str) -> str | None:
+    """On-disk directory a set_id resolves to under the data root."""
+    if set_id.lower() == "cifar10":
+        return "cifar-10-batches-py"
+    if set_id == "I":
+        return os.path.join(ID_TO_DIRNAME["I"], "val")
+    return ID_TO_DIRNAME.get(set_id if set_id in ID_TO_DIRNAME
+                             else set_id.lower())
+
+
 def dataset_exists(set_id: str, data_root: str) -> bool:
-    sub = ID_TO_DIRNAME.get(set_id if set_id in ID_TO_DIRNAME
-                            else set_id.lower())
+    sub = expected_subdir(set_id)
     return sub is not None and os.path.isdir(os.path.join(data_root, sub))

@@ -47,8 +47,7 @@ def format_prompts(classnames: Sequence[str],
 def prompt_tokens(classnames: Sequence[str],
                   prompt_prefix: str = "a photo of a") -> np.ndarray:
     """[C, 77] int32 token table for '<prefix> <classname>.'."""
-    return tokenize([f"{prompt_prefix} {c.replace('_', ' ')}."
-                     for c in classnames])
+    return tokenize(format_prompts(classnames, prompt_prefix + " {}."))
 
 
 def needed_ctx_len(tokens, multiple: int = 8) -> int:

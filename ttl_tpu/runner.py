@@ -326,6 +326,14 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
     clip_cfg, params = load_model(cfg)
     adapters0 = (None if cfg.lora_encoder == "prompt"
                  else make_adapters0(cfg, clip_cfg))
+    if jax.process_index() == 0:
+        # reference startup line (ttl.py:172), plus the episodic state size
+        from .ops.lora import adapter_param_count
+        n_adapt = adapter_param_count(adapters0) if adapters0 is not None \
+            else 0
+        extra = f" ({n_adapt:,} LoRA params/sample)" if n_adapt else ""
+        print(f"=> Model created: visual backbone {cfg.arch}{extra}",
+              flush=True)
 
     prompt_ckpt = None
     if cfg.load:
@@ -343,6 +351,15 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
         if is_main:
             print(f"evaluating: {set_id}", flush=True)
         ds = datasets.get(set_id) if datasets else None
+        if ds is None and set_id != "bongard":
+            from .data.registry import dataset_exists, expected_subdir
+            if not dataset_exists(set_id, cfg.data):
+                raise FileNotFoundError(
+                    f"dataset {set_id!r} not found under {cfg.data!r} "
+                    f"(expected directory "
+                    f"{expected_subdir(set_id) or '<unknown set_id>'!r}); "
+                    "pass the dataset root as the positional DATA argument "
+                    "or --data")
         if set_id == "bongard":
             # episodic few-shot protocol (support-prototype classifier);
             # the 2-way task has no meaningful top-5
