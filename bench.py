@@ -119,15 +119,62 @@ def main():
     quant_sps = measure(clip_cfg, qcfg, qparams, text_cls, adapters0,
                         canv, hs, ws, windows=3)
 
+    # contention telemetry: the relay chip is multi-tenant and wall-clock
+    # collapses 2-3x for minutes at a time (PERF_NOTES.md). Device-busy
+    # time from a short trace disambiguates "this build is slow" from "a
+    # co-tenant had the chip": busy ~= 260 ms/step on a quiet chip.
+    busy_ms = None
+    try:
+        import shutil
+        import tempfile
+
+        from ttl_tpu.adapt.ttl import make_fused_ttl_fn
+        from ttl_tpu.parallel.eval import make_count_fn
+        from ttl_tpu.utils.profiling import op_stats, trace
+
+        fused = make_fused_ttl_fn(clip_cfg, cfg)
+        count_fn = make_count_fn()
+        toks = jnp.asarray(prompt_tokens(names[:200]))
+        text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
+        labels = np.zeros((S,), np.int32)
+        valid = np.ones((S,), bool)
+
+        def tstep(i):
+            idxs = np.arange(S, dtype=np.int32) + i * S
+            res = fused(params, text_cls, adapters0, canv, hs, ws, idxs)
+            return count_fn(res.logits, labels, valid)
+
+        np.asarray(tstep(0))
+        td = tempfile.mkdtemp(prefix="ttl_bench_trace_")
+        try:
+            with trace(td):
+                pend = [tstep(10 + i) for i in range(4)]
+                for p in pend:
+                    np.asarray(p)
+            rows = op_stats(td, top=500)
+            if rows:
+                busy_ms = sum(r["self_time_us"] for r in rows
+                              if r["operation"] != "IDLE") / 4 / 1000.0
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+    except Exception:
+        pass
+
     sps = results[200]
-    print(json.dumps({
+    out = {
         "metric": "adapted samples/sec/chip (64-view TTL step, ViT-B/16)",
         "value": round(sps, 2),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps / 200.0, 4),
         "value_1000_classes": round(results[1000], 2),
         "value_int8_prefix": round(quant_sps, 2),
-    }))
+    }
+    if busy_ms is not None:
+        out["device_busy_ms_per_step"] = round(busy_ms, 1)
+        out["busy_equivalent_sps"] = round(S / (busy_ms / 1000.0), 2)
+        out["contention_suspected"] = bool(
+            sps < 0.7 * S / (busy_ms / 1000.0))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
