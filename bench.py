@@ -101,11 +101,13 @@ def main():
     ws = np.full((S,), 500, np.int32)
 
     results = {}
+    classifiers = {}
     for n_classes in (200, 1000):
         toks = jnp.asarray(prompt_tokens(names[:n_classes]))
-        text_cls = build_text_classifier(params["text"], toks,
-                                         clip_cfg.text)
-        results[n_classes] = measure(clip_cfg, cfg, params, text_cls,
+        classifiers[n_classes] = build_text_classifier(
+            params["text"], toks, clip_cfg.text)
+        results[n_classes] = measure(clip_cfg, cfg, params,
+                                     classifiers[n_classes],
                                      adapters0, canv, hs, ws)
 
     # opt-in int8 frozen-prefix variant (--prefix_quant int8): reported as
@@ -114,10 +116,8 @@ def main():
     from ttl_tpu.ops.quant import attach_prefix_quant, quant_prefix_len
     qcfg = cfg.replace(prefix_quant="int8")
     qparams = attach_prefix_quant(params, quant_prefix_len(qcfg, clip_cfg))
-    toks = jnp.asarray(prompt_tokens(names[:200]))
-    text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
-    quant_sps = measure(clip_cfg, qcfg, qparams, text_cls, adapters0,
-                        canv, hs, ws, windows=3)
+    quant_sps = measure(clip_cfg, qcfg, qparams, classifiers[200],
+                        adapters0, canv, hs, ws, windows=3)
 
     # contention telemetry: the relay chip is multi-tenant and wall-clock
     # collapses 2-3x for minutes at a time (PERF_NOTES.md). Device-busy
@@ -134,8 +134,7 @@ def main():
 
         fused = make_fused_ttl_fn(clip_cfg, cfg)
         count_fn = make_count_fn()
-        toks = jnp.asarray(prompt_tokens(names[:200]))
-        text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
+        text_cls = classifiers[200]
         labels = np.zeros((S,), np.int32)
         valid = np.ones((S,), bool)
 
@@ -169,7 +168,7 @@ def main():
         "value_1000_classes": round(results[1000], 2),
         "value_int8_prefix": round(quant_sps, 2),
     }
-    if busy_ms is not None:
+    if busy_ms:
         out["device_busy_ms_per_step"] = round(busy_ms, 1)
         out["busy_equivalent_sps"] = round(S / (busy_ms / 1000.0), 2)
         out["contention_suspected"] = bool(

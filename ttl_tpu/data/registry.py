@@ -41,6 +41,10 @@ _IMAGE_SUBDIR = {
 }
 
 
+_CIFAR10_DIR = "cifar-10-batches-py"
+_IMAGENET_SPLIT = "val"
+
+
 def build_dataset(set_id: str, args, n_shot=None):
     """Resolve a set_id to a (path, label) sample list dataset
     (datautils.py:38-73). `args` needs .data, .dataset_mode,
@@ -48,7 +52,7 @@ def build_dataset(set_id: str, args, n_shot=None):
     root = args.data
     if set_id == "I":
         return ImageFolderDataset(
-            os.path.join(root, ID_TO_DIRNAME["I"], "val"))
+            os.path.join(root, ID_TO_DIRNAME["I"], _IMAGENET_SPLIT))
     if set_id in ("A", "K", "R", "V"):
         return ImageFolderDataset(
             os.path.join(root, ID_TO_DIRNAME[set_id]),
@@ -68,17 +72,19 @@ def build_dataset(set_id: str, args, n_shot=None):
         return BongardDataset(root, mode=args.dataset_mode)
     if set_id.lower() == "cifar10":
         from .cifar10 import Cifar10Dataset
-        return Cifar10Dataset(os.path.join(root, "cifar-10-batches-py"),
+        return Cifar10Dataset(os.path.join(root, _CIFAR10_DIR),
                               mode=args.dataset_mode)
     raise NotImplementedError(f"unknown set_id {set_id!r}")
 
 
 def expected_subdir(set_id: str) -> str | None:
-    """On-disk directory a set_id resolves to under the data root."""
+    """On-disk directory a set_id resolves to under the data root. Shares
+    its literals with build_dataset so the runner's early existence check
+    can never drift from what the builder actually opens."""
     if set_id.lower() == "cifar10":
-        return "cifar-10-batches-py"
+        return _CIFAR10_DIR
     if set_id == "I":
-        return os.path.join(ID_TO_DIRNAME["I"], "val")
+        return os.path.join(ID_TO_DIRNAME["I"], _IMAGENET_SPLIT)
     return ID_TO_DIRNAME.get(set_id if set_id in ID_TO_DIRNAME
                              else set_id.lower())
 

@@ -46,8 +46,13 @@ def format_prompts(classnames: Sequence[str],
 
 def prompt_tokens(classnames: Sequence[str],
                   prompt_prefix: str = "a photo of a") -> np.ndarray:
-    """[C, 77] int32 token table for '<prefix> <classname>.'."""
-    return tokenize(format_prompts(classnames, prompt_prefix + " {}."))
+    """[C, 77] int32 token table for '<prefix> <classname>.'.
+
+    The prefix is user input (--ctx_init) and is escaped so brace
+    characters tokenize literally instead of being treated as a
+    str.format template."""
+    safe = prompt_prefix.replace("{", "{{").replace("}", "}}")
+    return tokenize(format_prompts(classnames, safe + " {}."))
 
 
 def needed_ctx_len(tokens, multiple: int = 8) -> int:

@@ -323,10 +323,11 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
     (ttl.py:228-297). `datasets` optionally maps set_id -> dataset object
     (used by tests/bench to bypass the filesystem)."""
     np.random.seed(cfg.seed)
+    is_main = jax.process_index() == 0
     clip_cfg, params = load_model(cfg)
     adapters0 = (None if cfg.lora_encoder == "prompt"
                  else make_adapters0(cfg, clip_cfg))
-    if jax.process_index() == 0:
+    if is_main:
         # reference startup line (ttl.py:172), plus the episodic state size
         from .ops.lora import adapter_param_count
         n_adapt = adapter_param_count(adapters0) if adapters0 is not None \
@@ -339,13 +340,12 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
     if cfg.load:
         if cfg.cocoop or cfg.lora_encoder == "prompt":
             prompt_ckpt = load_prompt_state_dict(cfg.load)
-        else:
+        elif is_main:
             print(f"WARNING: --load {cfg.load} is a CoOp/CoCoOp prompt "
                   "checkpoint and has no effect in the LoRA modes "
                   "(lora_encoder=image|text); ignoring it, as the reference "
                   "does", flush=True)
 
-    is_main = jax.process_index() == 0
     results: Dict[str, List[float]] = {}
     for set_id in cfg.test_sets.split("/"):
         if is_main:
@@ -353,13 +353,15 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
         ds = datasets.get(set_id) if datasets else None
         if ds is None and set_id != "bongard":
             from .data.registry import dataset_exists, expected_subdir
-            if not dataset_exists(set_id, cfg.data):
+            sub = expected_subdir(set_id)
+            # unknown set_ids fall through to build_dataset's precise
+            # NotImplementedError; this check is only for known ids whose
+            # data directory is absent
+            if sub is not None and not dataset_exists(set_id, cfg.data):
                 raise FileNotFoundError(
                     f"dataset {set_id!r} not found under {cfg.data!r} "
-                    f"(expected directory "
-                    f"{expected_subdir(set_id) or '<unknown set_id>'!r}); "
-                    "pass the dataset root as the positional DATA argument "
-                    "or --data")
+                    f"(expected directory {sub!r}); pass the dataset root "
+                    "as the positional DATA argument or --data")
         if set_id == "bongard":
             # episodic few-shot protocol (support-prototype classifier);
             # the 2-way task has no meaningful top-5
