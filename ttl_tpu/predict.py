@@ -142,6 +142,10 @@ def main(argv=None):
     p.add_argument("--lora_encoder", default="image",
                    choices=["image", "text"])
     p.add_argument("--sample_batch", default=8, type=int)
+    p.add_argument("--prefix_quant", default="none",
+                   choices=["none", "int8"],
+                   help="int8-quantize the frozen vision prefix "
+                        "(throughput over exact parity; see PERF_NOTES)")
     p.add_argument("--topk", default=5, type=int)
     p.add_argument("--out", default=None, help="output JSONL (default "
                                                "stdout)")
@@ -153,7 +157,8 @@ def main(argv=None):
                     checkpoint_path=args.checkpoint_path,
                     tta_steps=args.tta_steps,
                     lora_encoder=args.lora_encoder,
-                    sample_batch=args.sample_batch)
+                    sample_batch=args.sample_batch,
+                    prefix_quant=args.prefix_quant)
     classnames = (json.load(open(args.classnames))
                   if args.classnames else resolve_classnames(args.test_sets))
     sink = open(args.out, "w") if args.out else sys.stdout

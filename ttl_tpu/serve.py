@@ -314,6 +314,10 @@ def main(argv=None):
                    help="shard request batches over all chips (data-parallel"
                         " serving; sample_batch must be a multiple of the "
                         "data-axis size)")
+    p.add_argument("--prefix_quant", default="none",
+                   choices=["none", "int8"],
+                   help="int8-quantize the frozen vision prefix "
+                        "(throughput over exact parity; see PERF_NOTES)")
     p.add_argument("--max_delay_ms", default=5.0, type=float,
                    help="how long to gather concurrent requests")
     p.add_argument("--host", default="127.0.0.1")
@@ -323,7 +327,8 @@ def main(argv=None):
     cfg = TTLConfig(arch=args.arch, resolution=args.resolution,
                     checkpoint_path=args.checkpoint_path,
                     sample_batch=args.sample_batch,
-                    test_sets=args.test_sets)
+                    test_sets=args.test_sets,
+                    prefix_quant=args.prefix_quant)
     predictor = TTLPredictor(resolve_classnames(args.test_sets), cfg,
                              use_mesh=args.mesh)
     serve(predictor, args.host, args.port, max_delay_ms=args.max_delay_ms)
