@@ -52,3 +52,49 @@ def test_edge_config_runs(setup, name, cfg, n_cls):
     assert logits.shape == (2, n_cls)
     assert np.all(np.isfinite(logits))
     assert np.all(np.isfinite(np.asarray(res.losses)))
+
+
+def _run_cfg(setup, cfg, n_cls=3):
+    params, canv, hs, ws, idxs = setup
+    toks = jnp.asarray(prompt_tokens([f"class {i}" for i in range(n_cls)]))
+    tc = build_text_classifier(params["text"], toks, TEST_TINY.text,
+                               compute_dtype=jnp.float32)
+    a0 = init_adapters(jax.random.PRNGKey(1),
+                       cfg.layer_range[1] - cfg.layer_range[0] + 1,
+                       TEST_TINY.vision.hidden, cfg.rank, cfg.init_method)
+    res = make_fused_ttl_fn(TEST_TINY, cfg)(params, tc, a0, canv, hs, ws,
+                                            idxs)
+    return a0, res
+
+
+def test_filter_ent_empty_selection_skips_update(setup):
+    """DeYO faithfulness edge (deyo.py:108-113): filter_ent=1 with
+    int(batch*selection_p)==0 must leave the adapters untouched - the
+    reference returns before the optimizer step, so not even AdamW weight
+    decay runs."""
+    a0, res = _run_cfg(setup, BASE.replace(filter_ent=1, selection_p=0.01))
+    assert np.asarray(res.losses).max() == 0.0
+    for s in range(2):
+        per_sample = jax.tree.map(lambda a: np.asarray(a[s]), res.adapters)
+        jax.tree.map(np.testing.assert_array_equal, per_sample,
+                     jax.tree.map(np.asarray, a0))
+
+
+def test_reweight_plpd_only_is_weight_decay_only(setup):
+    """DeYO faithfulness edge (deyo.py:175-177): reweight_ent=0
+    reweight_plpd=1 computes a zero loss (the plpd coeff term is commented
+    out upstream) but still steps the optimizer - so the adapters move by
+    exactly one AdamW decoupled weight-decay step: a *= (1 - lr*wd)."""
+    from ttl_tpu.adapt.ttl import ADAMW_WEIGHT_DECAY
+    cfg = BASE.replace(reweight_ent=0, reweight_plpd=1)
+    a0, res = _run_cfg(setup, cfg)
+    assert np.asarray(res.losses).max() == 0.0
+    factor = 1.0 - cfg.lr * ADAMW_WEIGHT_DECAY
+    for s in range(2):
+        per_sample = jax.tree.map(lambda a: np.asarray(a[s]), res.adapters)
+        expect = jax.tree.map(lambda a: np.asarray(a) * factor, a0)
+        jax.tree.map(
+            lambda got, want: np.testing.assert_allclose(got, want,
+                                                         rtol=1e-6,
+                                                         atol=1e-8),
+            per_sample, expect)

@@ -125,6 +125,43 @@ def test_deyo_loss_gradient_treats_coeff_as_constant(logits64):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_deyo_loss_reweight_plpd_term_is_dead(logits64):
+    """The PLPD term of the coefficient is commented out in the reference
+    (deyo.py:175-177): reweight_ent=0 reweight_plpd=1 must give coeff==0
+    (zero loss AND zero gradient), and adding reweight_plpd on top of
+    reweight_ent must change nothing."""
+    x = jnp.asarray(logits64)
+    plpd = jnp.asarray(np.random.RandomState(1).rand(64).astype(np.float32))
+    loss, aux = E.deyo_loss(x, reweight_ent=0.0, reweight_plpd=1.0,
+                            plpd=plpd)
+    assert float(loss) == 0.0
+    assert float(jnp.abs(aux["coeff"]).max()) == 0.0
+    # the keep filter still passes every view: the reference reaches
+    # scaler.step with zero grads (weight-decay-only update), it does NOT
+    # take the backward==0 early exit
+    assert int(aux["n_backward"]) == 64
+
+    l_both, _ = E.deyo_loss(x, reweight_ent=1.0, reweight_plpd=1.0,
+                            plpd=plpd)
+    l_ent, _ = E.deyo_loss(x, reweight_ent=1.0, reweight_plpd=0.0)
+    assert abs(float(l_both) - float(l_ent)) < 1e-6
+
+    g = jax.grad(lambda z: E.deyo_loss(
+        z, reweight_ent=0.0, reweight_plpd=1.0, plpd=plpd[:4])[0])(x[:4, :10])
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_deyo_loss_filter_ent_empty_selection(logits64):
+    """filter_ent=1 with int(N*selection_p)==0 keeps NO views: the reference
+    returns before the optimizer step (deyo.py:108-113), so loss==0 and
+    n_backward==0 (the signal adapt/ttl.py uses to skip the update)."""
+    loss, aux = E.deyo_loss(jnp.asarray(logits64), filter_ent=True,
+                            selection_p=0.01)
+    assert float(loss) == 0.0
+    assert int(aux["n_backward"]) == 0
+    assert not bool(np.asarray(aux["keep"]).any())
+
+
 def test_tpt_loss_gradient_matches_torch(logits64):
     """TPT loss on the selected mask == avg_entropy of the subset, grads too."""
     x64 = logits64[:8, :10]

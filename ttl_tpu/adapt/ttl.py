@@ -137,8 +137,12 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
         return jnp.exp(params["logit_scale"]) * img @ txt.T
 
     def deyo_objective(logits, views, adapters, params, text_cls, tokens, key):
+        # The PLPD counterfactual forward runs ONLY under filter_plpd, as in
+        # the reference (deyo.py:115-151 is gated on args.filter_plpd;
+        # reweight_plpd alone never triggers it because its coefficient term
+        # is commented out upstream - deyo.py:175-177, see ops/entropy.py)
         plpd = None
-        if cfg.filter_plpd or cfg.reweight_plpd:
+        if cfg.filter_plpd:
             if cfg.aug_type == "patch":
                 x_prime = _patch_shuffle(views, key, cfg.patch_len)
             elif cfg.aug_type == "pixel":
@@ -163,6 +167,12 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
             reweight_plpd=float(cfg.reweight_plpd))
         return loss, aux
 
+    # TPT-path selection count (ttl.py:52). The k>=1 floor is a documented
+    # divergence: the reference's int(N*p)==0 edge slices an EMPTY view set
+    # and avg_entropy of nothing NaNs the loss (ttl.py:56-61) - a crash, not
+    # a behavior, so it is not reproduced. (The DeYO filter_ent edge, which
+    # the reference DOES define - skip the update - is matched exactly in
+    # ops/entropy.deyo_loss.)
     k_sel = max(int(cfg.batch_size * cfg.selection_p), 1)
 
     def adapt_one(params, text_cls, adapters0, views, key,

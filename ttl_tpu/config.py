@@ -69,7 +69,9 @@ class TTLConfig:
     filter_ent: int = 0                      # default OFF: keep-all filter ent<=log(1000)
     filter_plpd: int = 0                     # default OFF: no counterfactual pass
     reweight_ent: int = 1                    # default ON: coeff = exp(-(ent - e0))
-    reweight_plpd: int = 0
+    reweight_plpd: int = 0                   # coeff term commented out upstream
+                                             # (deyo.py:175-177): participates in
+                                             # the reweight on/off decision only
 
     # --- AugMix view chains (reference: data/datautils.py:110-138).
     # The reference ships with aug_list=[] in both branches (the

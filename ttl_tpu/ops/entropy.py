@@ -109,14 +109,30 @@ def deyo_loss(logits: jax.Array, *,
     Reference semantics (deyo.py:92-196 with ttl.py:80's *unscaled* margins):
       ent_i   = H(softmax(logits_i))
       keep_i  = ent_i <= log(1000)                       (filter_ent=0 default)
-                or i in top-p by ascending entropy       (filter_ent=1)
+                or i in top-int(N*p) by ascending entropy (filter_ent=1)
       coeff_i = reweight_ent / exp(stop_grad(ent_i) - margin_e0)
-                [+ reweight_plpd / exp(-plpd_i) when enabled]
       loss    = mean_{keep}(ent_i * coeff_i)
 
     With repo defaults every view passes the keep filter (max entropy is
     log(n_cls) <= log(1000)), so the loss is the coeff-reweighted mean entropy
     over all views.
+
+    Matched reference bit-rot (VERDICT r2 item 5 - these are load-bearing
+    faithfulness edges, not bugs):
+      * `deyo_margin` is DEAD in the live path: the entropy-threshold filter
+        that consumed it is commented out in the reference (deyo.py:104);
+        filter_ent=1 selects top-int(N*p) by argsort instead (deyo.py:105).
+        The parameter is kept for surface parity only.
+      * The PLPD term of the coefficient is commented out in the reference
+        (deyo.py:175-177), so `reweight_plpd` contributes NOTHING to the
+        weight. With reweight_ent=0 reweight_plpd=1 the coefficient - and
+        hence the loss and its gradient - is exactly 0 (the optimizer step
+        still runs, so only AdamW weight decay moves the adapters, exactly
+        as the reference's scaler.step on a zero-grad backward).
+      * filter_ent=1 with int(N*selection_p) == 0 keeps NO views: the
+        reference returns before the optimizer step (deyo.py:108-113), so
+        the adapters receive no update at all (see n_backward==0 handling
+        in adapt/ttl.py).
 
     Returns:
         (loss scalar, aux dict with ent/coeff/keep_mask/n_backward)
@@ -125,23 +141,28 @@ def deyo_loss(logits: jax.Array, *,
     ent = softmax_entropy(logits)
 
     if filter_ent:
-        # top-p lowest-entropy views (deyo.py:105), same as TPT selection
-        k = max(int(n * selection_p), 1)
-        _, idx = jax.lax.top_k(-ent, k)
-        keep = jnp.zeros(n, dtype=bool).at[idx].set(True)
+        # top-int(N*p) lowest-entropy views (deyo.py:105), same selection as
+        # TPT. NO floor: int(N*p)==0 empties the batch and skips the update
+        # entirely, exactly as the reference's backward==0 early return
+        # (deyo.py:108-113)
+        k = int(n * selection_p)
+        if k > 0:
+            _, idx = jax.lax.top_k(-ent, k)
+            keep = jnp.zeros(n, dtype=bool).at[idx].set(True)
+        else:
+            keep = jnp.zeros(n, dtype=bool)
     else:
         keep = ent <= LOG1000  # deyo.py:107
 
     if plpd is not None and filter_plpd:
         keep = keep & (plpd > plpd_threshold)  # deyo.py:147
 
-    coeff = jnp.zeros_like(ent)
-    if reweight_ent:
-        coeff = coeff + reweight_ent * jnp.exp(
-            -(jax.lax.stop_gradient(ent) - margin_e0))  # deyo.py:175
-    if reweight_plpd and plpd is not None:
-        coeff = coeff + reweight_plpd * jnp.exp(jax.lax.stop_gradient(plpd))
-    if not reweight_ent and not reweight_plpd:
+    if reweight_ent or reweight_plpd:
+        # deyo.py:175-177: only the entropy term is live (the plpd term is
+        # commented out upstream); reweight_ent=0 therefore zeroes the loss
+        coeff = reweight_ent * jnp.exp(
+            -(jax.lax.stop_gradient(ent) - margin_e0))
+    else:
         coeff = jnp.ones_like(ent)
 
     keep_f = keep.astype(jnp.float32)
