@@ -90,7 +90,9 @@ def main():
     names = json.loads(
         (pathlib.Path(__file__).parent / "ttl_tpu" / "data" / "assets" /
          "imagenet_classnames.json").read_text())
-    n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
+    from ttl_tpu.config import resolve_layer_range
+    lo, hi = resolve_layer_range(cfg, clip_cfg)
+    n_window = hi - lo + 1
     adapters0 = init_adapters(jax.random.PRNGKey(1), n_window,
                               clip_cfg.vision.hidden, cfg.rank,
                               cfg.init_method)

@@ -151,7 +151,7 @@ def test_cli_init_method_none():
 def test_cli_defaults_match_reference():
     cfg = config_from_args(build_parser().parse_args([]))
     ref_defaults = dict(batch_size=64, lr=5e-3, tta_steps=1,
-                        selection_p=0.1, layer_range=(9, 11),
+                        selection_p=0.1,
                         init_method="xavier", lora_encoder="image", rank=16,
                         n_ctx=4, ctx_init="a_photo_of_a", seed=0,
                         deyo_margin=0.5, deyo_margin_e0=0.4,
@@ -159,6 +159,40 @@ def test_cli_defaults_match_reference():
                         reweight_plpd=0, aug_type="patch", patch_len=6)
     for k, v in ref_defaults.items():
         assert getattr(cfg, k) == v, k
+    # layer_range defaults to arch-relative; on the reference arch
+    # (ViT-B/16, 12 layers) it must resolve to the reference's (9, 11)
+    from ttl_tpu.config import resolve_layer_range
+    from ttl_tpu.models.zoo import get_arch
+    assert cfg.layer_range is None
+    assert resolve_layer_range(cfg, get_arch(cfg.arch)) == (9, 11)
+
+
+def test_layer_range_arch_relative_defaults():
+    """The None default picks the LAST 3 layers of the adapted tower
+    (the reference's intent, ttl.py:372): unchanged on 12-layer towers,
+    (21, 23) on ViT-L/14 - NOT the mid-tower (9, 11) that forces 12
+    differentiated suffix layers. Explicit --layer_range still wins."""
+    from ttl_tpu.config import TTLConfig, resolve_layer_range
+    from ttl_tpu.models.zoo import get_arch
+
+    base = TTLConfig()
+    assert resolve_layer_range(base, get_arch("ViT-B/16")) == (9, 11)
+    assert resolve_layer_range(base, get_arch("ViT-B/32")) == (9, 11)
+    assert resolve_layer_range(base, get_arch("ViT-L/14")) == (21, 23)
+    assert resolve_layer_range(base, get_arch("ViT-L/14@336px")) == (21, 23)
+    # text/prompt modes adapt the 12-layer text tower on every arch
+    for mode in ("text", "prompt"):
+        assert resolve_layer_range(base.replace(lora_encoder=mode),
+                                   get_arch("ViT-L/14")) == (9, 11)
+        assert resolve_layer_range(base.replace(lora_encoder=mode),
+                                   get_arch("RN50")) == (9, 11)
+    # explicit override is returned verbatim
+    assert resolve_layer_range(base.replace(layer_range=(5, 7)),
+                               get_arch("ViT-L/14")) == (5, 7)
+    # CLI: the flag parses to an explicit window; omitting it keeps None
+    assert config_from_args(build_parser().parse_args(
+        ["--layer_range", "21,23"])).layer_range == (21, 23)
+    assert config_from_args(build_parser().parse_args([])).layer_range is None
 
 
 def test_sample_batch_invariance():

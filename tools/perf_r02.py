@@ -83,7 +83,9 @@ def main():
         # frozen-classifier encode of up to 1000 prompts is dead work there
         toks = jnp.asarray(prompt_tokens(names[:args.classes]))
         text_cls = build_text_classifier(params["text"], toks, clip_cfg.text)
-    n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
+    from ttl_tpu.config import resolve_layer_range
+    lo, hi = resolve_layer_range(cfg, clip_cfg)
+    n_window = hi - lo + 1
     adapter_d = (clip_cfg.text.hidden if cfg.lora_encoder == "text"
                  else clip_cfg.vision.hidden)
     adapters0 = init_adapters(jax.random.PRNGKey(1), n_window,

@@ -99,7 +99,8 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
       views:     [V, 3, H, W] CLIP-normalized views, views[0] = clean view
       key:       PRNG key (only consumed by the PLPD counterfactual)
     """
-    window = tuple(cfg.layer_range)
+    from ..config import resolve_layer_range
+    window = resolve_layer_range(cfg, clip_cfg)
     scale = lora_scale(cfg.rank, cfg.lora_alpha)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     steps = effective_update_steps(cfg)

@@ -52,7 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", default=d.load, type=str)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--images_per_class", default=d.images_per_class, type=int)
-    p.add_argument("--layer_range", type=list_of_ints, default=d.layer_range)
+    p.add_argument("--layer_range", type=list_of_ints, default=d.layer_range,
+                   help="inclusive LoRA window 'lo,hi'; default: the last 3 "
+                        "layers of the adapted tower ((9,11) on 12-layer "
+                        "towers = the reference default; (21,23) on "
+                        "ViT-L/14's 24-layer vision tower)")
     p.add_argument("--init_method", default=d.init_method,
                    type=lambda s: None if s in ("None", "none") else s,
                    choices=["xavier", "gaussian", "kaiming", "pretrained",
@@ -129,7 +133,7 @@ def config_from_args(args: argparse.Namespace) -> TTLConfig:
     # argparse bool-ish flags arrive as strings when set on the command line
     if isinstance(kw.get("deyo_selection"), str):
         kw["deyo_selection"] = kw["deyo_selection"].lower() in ("1", "true")
-    if len(kw.get("layer_range", (0, 0))) != 2:
+    if kw.get("layer_range") is not None and len(kw["layer_range"]) != 2:
         raise SystemExit("--layer_range expects 'lo,hi' (inclusive), e.g. 9,11")
     return TTLConfig(**kw)
 

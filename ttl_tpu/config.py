@@ -49,7 +49,16 @@ class TTLConfig:
     ensemble: bool = False
 
     # --- LoRA (reference: ttl.py:402-405)
-    layer_range: Tuple[int, int] = (9, 11)   # inclusive trainable/reset layer range
+    # Inclusive trainable/reset layer window. None (default) = arch-relative:
+    # the last 3 layers of the tower actually being adapted, resolved by
+    # `resolve_layer_range` -> (9, 11) on every 12-layer tower (identical to
+    # the reference's hard-coded default, ttl.py:372) and (21, 23) on
+    # ViT-L/14's 24-layer vision tower. The reference's literal "9,11" is
+    # "the last 3" only on 12-layer towers; applied to a 24-layer tower it
+    # lands mid-tower and forces 12 differentiated suffix layers (multi-x
+    # slower for no accuracy reason - VERDICT r2). --layer_range remains the
+    # explicit override.
+    layer_range: Optional[Tuple[int, int]] = None
     init_method: Optional[str] = "xavier"    # xavier|gaussian|kaiming|pretrained|None
     lora_encoder: str = "image"              # image|text|prompt
     rank: int = 16
@@ -114,6 +123,34 @@ class TTLConfig:
 
     def replace(self, **kw) -> "TTLConfig":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_layer_range(cfg: TTLConfig, clip_cfg) -> Tuple[int, int]:
+    """The concrete (lo, hi) adapter window for a config + architecture.
+
+    An explicit `layer_range` (CLI `--layer_range lo,hi`) is returned as-is.
+    The None default resolves arch-relative to the LAST 3 layers of the
+    adapted tower - the reference's *intent* ("train the last few layers",
+    ttl.py:372 + custom_clip.py:596-616), which its hard-coded (9, 11) only
+    realizes on 12-layer towers:
+
+      lora_encoder='image': vision tower -> (9, 11) ViT-B/*, (21, 23) ViT-L
+      lora_encoder='text' / 'prompt':  text tower -> (9, 11) (12 layers in
+      every published CLIP text config)
+
+    For ResNet vision towers (no transformer layers to adapt; LoRA is
+    ViT-only as in the reference) the text tower's depth is used so prompt/
+    text modes still resolve; image-mode adaptation on ResNet is rejected
+    elsewhere (runner.make_adapters0 / evaluate_dataset).
+    """
+    if cfg.layer_range is not None:
+        return tuple(cfg.layer_range)
+    n = None
+    if cfg.lora_encoder == "image":
+        n = getattr(clip_cfg.vision, "layers", None)
+    if not isinstance(n, int):  # text/prompt modes, or a ResNet block tuple
+        n = clip_cfg.text.layers
+    return (max(n - 3, 0), n - 1)
 
 
 def effective_update_steps(cfg: TTLConfig) -> int:

@@ -117,9 +117,11 @@ def quant_prefix_len(cfg, clip_cfg) -> int:
     """How many vision layers may be quantized for a config: everything
     below the LoRA window when the image encoder is being adapted, the whole
     tower when it is frozen (text/prompt/CoCoOp/zero-shot modes)."""
+    from ..config import resolve_layer_range
     from ..models.clip import VisionConfig
     if not isinstance(clip_cfg.vision, VisionConfig):
         return 0
     image_adapted = (cfg.lora_encoder == "image" and cfg.tta_steps > 0
                      and not cfg.cocoop)
-    return cfg.layer_range[0] if image_adapted else clip_cfg.vision.layers
+    return (resolve_layer_range(cfg, clip_cfg)[0] if image_adapted
+            else clip_cfg.vision.layers)

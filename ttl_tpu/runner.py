@@ -65,7 +65,6 @@ def load_model(cfg: TTLConfig):
 
 
 def make_adapters0(cfg: TTLConfig, clip_cfg):
-    n_window = cfg.layer_range[1] - cfg.layer_range[0] + 1
     if cfg.lora_encoder == "image":
         if not isinstance(clip_cfg.vision, jclip.VisionConfig):
             # ResNet tower: no transformer q/v to adapt (LoRA is ViT-only,
@@ -76,7 +75,9 @@ def make_adapters0(cfg: TTLConfig, clip_cfg):
         d = clip_cfg.vision.hidden
     else:
         d = clip_cfg.text.hidden
-    return init_adapters(jax.random.PRNGKey(cfg.seed), n_window, d,
+    from .config import resolve_layer_range
+    lo, hi = resolve_layer_range(cfg, clip_cfg)
+    return init_adapters(jax.random.PRNGKey(cfg.seed), hi - lo + 1, d,
                          cfg.rank, cfg.init_method)
 
 
