@@ -71,6 +71,30 @@ def test_prefix_quant_feature_fidelity():
     assert np.all(cos > 0.99), cos
 
 
+def test_drop_fp_frees_fully_quantized_tower():
+    """Frozen-vision modes (whole tower quantized) never read the fp layer
+    stack again; drop_fp replaces it with a zero-length slice (freeing its
+    HBM, ADVICE r2) and the quantized zero-shot features are unchanged."""
+    params = init_clip_params(jax.random.PRNGKey(0), TEST_TINY)
+    n = TEST_TINY.vision.layers
+    images = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 64, 64),
+                               jnp.float32)
+    q_keep = attach_prefix_quant(params, n)
+    q_drop = attach_prefix_quant(params, n, drop_fp=True)
+    assert q_drop["vision"]["layers"]["ln1"]["scale"].shape[0] == 0
+    f_keep = np.asarray(vision_features(q_keep["vision"], images,
+                                        TEST_TINY.vision,
+                                        compute_dtype=jnp.float32))
+    f_drop = np.asarray(vision_features(q_drop["vision"], images,
+                                        TEST_TINY.vision,
+                                        compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(f_keep, f_drop)
+    # an adapted-suffix config (upto < n_layers) must NOT drop: the window
+    # and remat'd suffix still read the fp stack
+    q_part = attach_prefix_quant(params, 1, drop_fp=True)
+    assert q_part["vision"]["layers"]["ln1"]["scale"].shape[0] == n
+
+
 def test_quant_prefix_len_per_mode():
     assert quant_prefix_len(CFG, TEST_TINY) == 1
     for frozen in (CFG.replace(lora_encoder="text"),

@@ -55,13 +55,15 @@ def prompt_tokens(classnames: Sequence[str],
     return tokenize(format_prompts(classnames, safe + " {}."))
 
 
-def needed_ctx_len(tokens, multiple: int = 8) -> int:
+def needed_ctx_len(tokens, multiple: int = 16) -> int:
     """Static text-sequence length a token table actually needs.
 
     CLIP pads every prompt to 77 tokens, but the text tower is causal and
     pools at the EOT position (the largest token id), so positions after the
     longest EOT are dead compute: truncating to max(EOT)+1 (rounded up to a
-    TPU-tile-friendly multiple) is EXACT - every pooled feature is
+    TPU-tile-friendly multiple - 16, the bf16 sublane tile, so the default
+    compute dtype never pays a sequence-axis repack; f32's tile of 8 divides
+    it) is EXACT - every pooled feature is
     unchanged. Real classname tables need ~16 of 77 positions, a ~4.8x cut
     in text-tower FLOPs/memory everywhere the table is (re-)encoded: the
     per-dataset classifier build, and every adaptation step of the

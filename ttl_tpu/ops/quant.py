@@ -92,13 +92,19 @@ def quantize_layer_stack(stacked: Params, upto: int) -> Params:
     }
 
 
-def attach_prefix_quant(params: Params, upto: int) -> Params:
+def attach_prefix_quant(params: Params, upto: int, *,
+                        drop_fp: bool = False) -> Params:
     """Return a params pytree whose vision tower carries an int8 copy of its
     first `upto` layers under 'prefix_q' (consumed by clip.vision_prefix).
-    The f32/bf16 originals stay - layers >= upto and every gradient path
-    still read them. No-op for non-ViT towers (ResNet backbones have no
-    stacked transformer layers; LoRA and the frozen-prefix split are
-    ViT-only, as in the reference)."""
+    The f32/bf16 originals stay by default - layers >= upto and every
+    gradient path still read them. When `drop_fp` is set AND the whole
+    tower quantizes (frozen-vision modes: text-LoRA/prompt/CoCoOp/
+    zero-shot), the fp stacked layers are replaced with a zero-length slice
+    so their HBM is freed - nothing reads them again (vision_prefix's
+    fp remainder is a no-op at nq == upto == n_layers), and keeping them
+    would double the vision tower's weight footprint (ADVICE r2). No-op for
+    non-ViT towers (ResNet backbones have no stacked transformer layers;
+    LoRA and the frozen-prefix split are ViT-only, as in the reference)."""
     vision = params["vision"]
     if "layers" not in vision or "patch_embed" not in vision:
         return params
@@ -108,6 +114,8 @@ def attach_prefix_quant(params: Params, upto: int) -> Params:
     vision = dict(vision)
     vision["prefix_q"] = quantize_layer_stack(vision["layers"],
                                               min(upto, n_layers))
+    if drop_fp and upto >= n_layers:
+        vision["layers"] = jax.tree.map(lambda a: a[:0], vision["layers"])
     out = dict(params)
     out["vision"] = vision
     return out

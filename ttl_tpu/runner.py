@@ -57,7 +57,10 @@ def load_model(cfg: TTLConfig):
                                   param_dtype=pdtype)
     if cfg.prefix_quant == "int8":
         from .ops.quant import attach_prefix_quant, quant_prefix_len
-        params = attach_prefix_quant(params, quant_prefix_len(cfg, clip_cfg))
+        # drop_fp frees the fp copies whenever the WHOLE tower quantizes
+        # (frozen-vision modes); with an adapted suffix the fp layers stay
+        params = attach_prefix_quant(params, quant_prefix_len(cfg, clip_cfg),
+                                     drop_fp=True)
     elif cfg.prefix_quant != "none":
         raise ValueError(f"prefix_quant={cfg.prefix_quant!r}: expected "
                          "'none' or 'int8'")
@@ -245,7 +248,11 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
         try:
             yield
         except Exception as e:
-            if "out of memory" in str(e).lower():
+            msg = str(e).lower()
+            # XLA surfaces allocation failures both as "...out of memory..."
+            # and as bare RESOURCE_EXHAUSTED statuses (ADVICE r2)
+            if "out of memory" in msg or "resource_exhausted" in msg \
+                    or "resource exhausted" in msg:
                 raise RuntimeError(
                     f"device OOM on the {set_id} step at "
                     f"sample_batch={cfg.sample_batch} with "
