@@ -31,3 +31,25 @@ python -m ttl_tpu "$DATA" \
     --layer_range 9,11 --init_method xavier --lora_encoder image \
     --rank 16 --seed 0 \
     --checkpoint_path clip_vit_b16.npz
+
+# 3) the other published rows (README.md:94-98), same checkpoint/datasets -
+#    each is one command; tests/test_parity_harness.py drives all four
+#    invocations through the CLI subprocess on a synthetic checkpoint today.
+
+# Ensemble row (80 hand-crafted prompts, no adaptation; README.md:95)
+python -m ttl_tpu "$DATA" \
+    --test_sets A/V/R/K --arch ViT-B/16 --seed 0 \
+    --ensemble --tta_steps 0 \
+    --checkpoint_path clip_vit_b16.npz
+
+# TPT row (prompt-ctx tuning; README.md:98)
+python -m ttl_tpu "$DATA" \
+    --test_sets A/V/R/K --arch ViT-B/16 -b 64 --lr 5e-3 --tta_steps 1 \
+    --lora_encoder prompt --n_ctx 4 --ctx_init a_photo_of_a --seed 0 \
+    --checkpoint_path clip_vit_b16.npz
+
+# CoCoOp row (README.md:97; add --load COCOOP_CKPT for the trained ctx)
+python -m ttl_tpu "$DATA" \
+    --test_sets A/V/R/K --arch ViT-B/16 -b 64 --seed 0 \
+    --cocoop \
+    --checkpoint_path clip_vit_b16.npz

@@ -103,3 +103,53 @@ def test_convert_cache_run_parity(imagenet_a_tree, tmp_path):
                            jax.tree.map(lambda a: np.asarray(a, np.float32),
                                         params), adapters0)
     assert abs(ref[0] - cli_top1) < 1e-2 and abs(ref[1] - cli_top5) < 1e-2
+
+
+@pytest.fixture(scope="module")
+def synthetic_npz(tmp_path_factory):
+    """One converted synthetic checkpoint shared by the per-mode CLI runs."""
+    from ttl_tpu.models.clip import init_clip_params
+    from ttl_tpu.models.zoo import TEST_TINY
+
+    tmp = tmp_path_factory.mktemp("ckpt")
+    params = init_clip_params(jax.random.PRNGKey(42), TEST_TINY)
+    sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+          export_openai_vit_sd(params, TEST_TINY.vision).items()}
+    pt = tmp / "tiny_clip.pt"
+    torch.save(sd, str(pt))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "tools/convert_checkpoint.py", str(pt),
+         "--arch", "test-tiny", "--out", str(tmp / "tiny_clip.npz")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return str(tmp / "tiny_clip.npz")
+
+
+@pytest.mark.parametrize("mode_flags", [
+    ["--ensemble", "--tta_steps", "0"],          # Ensemble row (README:95)
+    ["--lora_encoder", "prompt"],                # TPT row (README:98)
+    ["--cocoop"],                                # CoCoOp row (README:97)
+], ids=["ensemble", "tpt-prompt", "cocoop"])
+def test_parity_cli_other_modes(imagenet_a_tree, synthetic_npz, mode_flags):
+    """Every published-row config (VERDICT r2 #3) runs end-to-end through
+    the CLI subprocess on the synthetic checkpoint: the exact commands
+    scripts/run_parity.sh fires when real weights appear."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=REPO)
+    cli = subprocess.run(
+        [sys.executable, "-m", "ttl_tpu", imagenet_a_tree,
+         "--test_sets", "A", "--arch", "test-tiny", "--resolution", "64",
+         "-b", "8", "--layer_range", "2,3", "--rank", "4",
+         "--compute_dtype", "float32", "--param_dtype", "float32",
+         "--sample_batch", "4", "--checkpoint_path", synthetic_npz]
+        + mode_flags,
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert cli.returncode == 0, cli.stderr[-2000:]
+    m = re.search(r"\[A\]: @1 ([0-9.]+)/ @5 ([0-9.]+)", cli.stdout)
+    assert m, cli.stdout[-2000:]
+    top1, top5 = float(m.group(1)), float(m.group(2))
+    assert 0.0 <= top1 <= top5 <= 100.0
