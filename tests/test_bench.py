@@ -8,6 +8,7 @@ per-sample numerics as the single-device one (VERDICT r2 weak #1/#3:
 the aggregate must be measurable the moment multi-chip hardware exists).
 """
 import numpy as np
+import pytest
 
 import jax
 
@@ -45,6 +46,7 @@ def test_measure_single_device():
     assert np.isfinite(sps) and sps > 0
 
 
+@pytest.mark.slow
 def test_measure_mesh_aggregate():
     """The multi-device bench path: same program sharded over the full
     data mesh, rate measured over the whole (n_dev * per-chip) batch."""

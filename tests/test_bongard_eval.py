@@ -58,6 +58,7 @@ def model():
     return params, adapters0
 
 
+@pytest.mark.slow
 def test_bongard_eval_adapted(bongard_ds, model):
     params, adapters0 = model
     acc = evaluate_bongard(CFG, bongard_ds, TEST_TINY, params, adapters0)

@@ -10,6 +10,8 @@ from PIL import Image
 
 from ttl_tpu.utils.profiling import PhaseTimer, op_stats
 
+pytestmark = pytest.mark.slow  # CLI subprocess end-to-end (~8 min)
+
 
 @pytest.fixture(scope="module")
 def imagenet_a_tree(tmp_path_factory):

@@ -30,6 +30,8 @@ from ttl_tpu.models.clip import init_clip_params
 from ttl_tpu.models.zoo import TEST_TINY
 from ttl_tpu.ops.lora import init_adapters, lora_scale
 
+pytestmark = pytest.mark.slow  # full-step torch oracles
+
 torch.set_grad_enabled(True)
 
 V = 16          # views per sample

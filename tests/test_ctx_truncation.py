@@ -9,6 +9,7 @@ classifier build and all three prompt-consuming adaptation modes.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ttl_tpu.config import TTLConfig
 from ttl_tpu.models.clip import init_clip_params
@@ -93,6 +94,7 @@ def test_tpt_mode_truncation_exact():
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tpt_position_truncation_exact():
     from ttl_tpu.adapt.ttl import make_fused_tpt_fn
 
@@ -122,6 +124,7 @@ def test_text_mode_builder_truncates_internally():
     assert _truncate_tokens(None) is None
 
 
+@pytest.mark.slow
 def test_cocoop_truncation_exact():
     from ttl_tpu.adapt.cocoop import init_cocoop
     from ttl_tpu.adapt.ttl import make_fused_cocoop_fn

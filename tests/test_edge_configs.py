@@ -18,6 +18,8 @@ from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens
 from ttl_tpu.models.zoo import TEST_TINY
 from ttl_tpu.ops.lora import init_adapters
 
+pytestmark = pytest.mark.slow  # compiles many edge-config programs
+
 BASE = TTLConfig(arch="test-tiny", resolution=64, batch_size=8,
                  sample_batch=2, layer_range=(1, 2), rank=4,
                  compute_dtype="float32", param_dtype="float32")

@@ -57,6 +57,7 @@ def test_full_run_smoke(capsys):
     assert "Acc@1" in out
 
 
+@pytest.mark.slow
 def test_full_run_deterministic():
     ds = make_synthetic_dataset()
     r1 = run(CFG, datasets={"eurosat": ds})
@@ -100,6 +101,7 @@ def test_cli_parses_reference_invocation():
     assert cfg.deyo_selection is True  # default-on (ttl.py:380)
 
 
+@pytest.mark.slow
 def test_aug_list_end_to_end():
     """A non-empty aug_list (the reference's shipped-but-disabled AugMix
     chains, datautils.py:110-138) must run through the full TTL step, and
@@ -195,6 +197,7 @@ def test_layer_range_arch_relative_defaults():
     assert config_from_args(build_parser().parse_args([])).layer_range is None
 
 
+@pytest.mark.slow
 def test_sample_batch_invariance():
     """Per-sample results must not depend on how many samples are vmapped
     together (episodic independence + per-index view keys)."""
@@ -259,6 +262,7 @@ def test_loader_sharding_partitions_samples():
     {"cocoop": True},                      # CoCoOp
     {"tta_steps": 0},                      # zero-shot
 ])
+@pytest.mark.slow
 def test_runner_mesh_path_matches_fallback(mode_kw):
     """Every adaptation mode through the RUNNER on the 8-device mesh
     (sample_batch=8 engages the data-parallel dispatch) must equal the
@@ -307,6 +311,7 @@ def test_load_prompt_checkpoint(tmp_path):
     assert 0.0 <= r["eurosat"][0] <= 100.0
 
 
+@pytest.mark.slow
 def test_multichip_runner_matches_single_device():
     """With sample_batch divisible by the device count the runner goes
     data-parallel over the virtual 8-CPU mesh; accuracy must match the

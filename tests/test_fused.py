@@ -69,6 +69,7 @@ def test_fused_matches_two_dispatch(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_sharded_matches_single(setup):
     params, text_cls, adapters0, canv, hs, ws, idxs = setup
     single = make_fused_ttl_fn(TEST_TINY, CFG)(
@@ -85,6 +86,7 @@ def test_fused_sharded_matches_single(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_tpt_sharded_matches_single(setup):
     """TPT-prompt mode shards over the data axis exactly like the LoRA path
     (the per-sample programs are independent)."""
@@ -108,6 +110,7 @@ def test_fused_tpt_sharded_matches_single(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_cocoop_sharded_matches_single(setup):
     from ttl_tpu.adapt.cocoop import init_cocoop
     params, _, _, canv, hs, ws, idxs = setup
@@ -127,6 +130,7 @@ def test_fused_cocoop_sharded_matches_single(setup):
                                np.asarray(res.logits), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_zeroshot_sharded_matches_single(setup):
     params, text_cls, _, canv, hs, ws, idxs = setup
     cfg = CFG.replace(tta_steps=0)

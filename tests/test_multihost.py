@@ -17,6 +17,10 @@ import textwrap
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow  # spawns 2 jax.distributed processes
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # 13 samples / sample_batch 8: exercises last-batch padding AND uneven

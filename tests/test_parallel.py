@@ -74,6 +74,7 @@ def test_sharded_topk_correct(setup):
     assert int(out2[0]) == 0
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

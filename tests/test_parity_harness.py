@@ -27,6 +27,8 @@ import jax
 
 from oracle_utils import export_openai_vit_sd
 
+pytestmark = pytest.mark.slow  # checkpoint-convert + CLI subprocesses
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

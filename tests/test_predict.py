@@ -27,6 +27,7 @@ def image_dir(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_predict_directory_jsonl(image_dir):
     sink = io.StringIO()
     n = predict_directory(CFG.replace(data=image_dir), CLASSES, topk=3,

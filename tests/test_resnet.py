@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 from ttl_tpu.models import resnet as rn
 
+pytestmark = pytest.mark.slow  # full-dim RN50 torch conversion
+
 CFG_TINY = rn.ResNetVisionConfig(layers=(1, 1, 1, 1), width=16, heads=4,
                                  proj_dim=32, image_size=64)
 

@@ -34,6 +34,8 @@ from ttl_tpu.models.clip import init_clip_params
 from ttl_tpu.models.prompts import init_prompt_learner
 from ttl_tpu.models.zoo import TEST_TINY
 
+pytestmark = pytest.mark.slow  # full-step torch oracles
+
 V = 16
 CLASSNAMES = ["forest", "river", "highway", "lake", "farmland"]
 
