@@ -9,6 +9,7 @@ surfaces (fused TTL step, runner, CLI, mesh sharding) compose with it.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ttl_tpu.config import TTLConfig
 from ttl_tpu.models.clip import (init_clip_params, linear, vision_features)
@@ -93,6 +94,39 @@ def test_drop_fp_frees_fully_quantized_tower():
     # and remat'd suffix still read the fp stack
     q_part = attach_prefix_quant(params, 1, drop_fp=True)
     assert q_part["vision"]["layers"]["ln1"]["scale"].shape[0] == n
+
+
+@pytest.mark.slow
+def test_quant_flip_rate_bound():
+    """The int8-prefix accuracy stand-in (VERDICT r2 #10): over a random
+    canvas sweep the quantized program's adapted top-1 must agree with full
+    precision almost always (measured: 0 flips / 64 at these dims; full
+    ViT-B/16 numbers in PERF_NOTES via tools/quant_fidelity.py)."""
+    from ttl_tpu.adapt.ttl import make_fused_ttl_fn
+    from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens
+
+    params = init_clip_params(jax.random.PRNGKey(0), TEST_TINY)
+    toks = jnp.asarray(prompt_tokens([f"class {i}" for i in range(20)]))
+    tc = build_text_classifier(params["text"], toks, TEST_TINY.text,
+                               compute_dtype=jnp.float32)
+    a0 = init_adapters(jax.random.PRNGKey(1), 2, TEST_TINY.vision.hidden,
+                       CFG.rank, "xavier")
+    qparams = attach_prefix_quant(params, quant_prefix_len(CFG, TEST_TINY))
+    fn = make_fused_ttl_fn(TEST_TINY, CFG.replace(sample_batch=8))
+    rng = np.random.RandomState(0)
+    flips, n, maxdev = 0, 0, 0.0
+    for b in range(8):
+        canv = (rng.rand(8, 96, 96, 3) * 255).astype(np.uint8)
+        hs = rng.randint(40, 96, (8,)).astype(np.int32)
+        ws = rng.randint(40, 96, (8,)).astype(np.int32)
+        idxs = np.arange(8, dtype=np.int32) + b * 8
+        lf = np.asarray(fn(params, tc, a0, canv, hs, ws, idxs).logits)
+        lq = np.asarray(fn(qparams, tc, a0, canv, hs, ws, idxs).logits)
+        flips += int((lf.argmax(-1) != lq.argmax(-1)).sum())
+        maxdev = max(maxdev, float(np.abs(lf - lq).max()))
+        n += 8
+    assert flips / n <= 0.05, (flips, n)
+    assert maxdev < 0.05, maxdev
 
 
 def test_quant_prefix_len_per_mode():
