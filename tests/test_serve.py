@@ -250,6 +250,42 @@ def test_http_overload_returns_503(predictor):
             assert retry is not None and int(retry) >= 1
 
 
+def test_http_metrics_endpoint(predictor):
+    """GET /metrics reports live counters: accepted/served/shed/queue."""
+    import socket
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    t = threading.Thread(target=serve, args=(predictor, "127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    for _ in range(50):
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                   timeout=1)
+            break
+        except OSError:
+            time.sleep(0.1)
+
+    img = np.random.RandomState(5).randint(0, 255, (64, 64, 3),
+                                           dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                 data=buf.getvalue(), method="POST")
+    urllib.request.urlopen(req, timeout=120).read()
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics",
+                                timeout=10) as r:
+        m = json.loads(r.read())
+    assert m["accepted_total"] >= 1 and m["served_total"] >= 1
+    assert m["shed_total"] == 0 and m["queue_depth"] == 0
+    assert m["sample_batch"] == predictor.cfg.sample_batch
+    assert m["step_ewma_ms"] > 0 and m["uptime_s"] >= 0
+
+
 def test_mesh_predictor_matches_single_device(predictor):
     """Data-parallel serving (use_mesh) must reproduce the single-device
     predictor exactly (8-device virtual CPU mesh)."""

@@ -211,6 +211,11 @@ class MicroBatcher:
         self.q: queue.Queue = queue.Queue(maxsize=self.max_queue)
         # EWMA of the fused-step wall time, for the Retry-After hint
         self._step_s = 0.5
+        self._t0 = time.time()
+        self.accepted = 0
+        self.shed = 0
+        self.served = 0
+        self.batches = 0
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
 
@@ -219,10 +224,26 @@ class MicroBatcher:
         try:
             self.q.put_nowait((blob, fut))
         except queue.Full:
+            self.shed += 1
             s = self.predictor.cfg.sample_batch
             steps_backlogged = (self.max_queue + s - 1) // s
             raise Overloaded(max(1.0, steps_backlogged * self._step_s))
+        self.accepted += 1
         return fut
+
+    def metrics(self) -> dict:
+        """Live serving counters (served by GET /metrics)."""
+        return {
+            "uptime_s": round(time.time() - self._t0, 1),
+            "accepted_total": self.accepted,
+            "shed_total": self.shed,
+            "served_total": self.served,
+            "batches_total": self.batches,
+            "queue_depth": self.q.qsize(),
+            "max_queue": self.max_queue,
+            "sample_batch": self.predictor.cfg.sample_batch,
+            "step_ewma_ms": round(self._step_s * 1e3, 1),
+        }
 
     def _resolve(self, pending):
         futs, handle = pending
@@ -230,8 +251,10 @@ class MicroBatcher:
             t0 = time.time()
             results = self.predictor.collect(handle)
             self._step_s = 0.7 * self._step_s + 0.3 * (time.time() - t0)
+            self.batches += 1
             for fut, res in zip(futs, results):
                 fut.set_result(res)
+                self.served += 1
         except Exception as e:  # pragma: no cover - device failure
             for fut in futs:
                 fut.set_exception(e)
@@ -329,6 +352,13 @@ def serve(predictor: TTLPredictor, host: str = "127.0.0.1",
                 self.send_header("Content-Length", "2")
                 self.end_headers()
                 self.wfile.write(b"ok")
+            elif self.path.rstrip("/") == "/metrics":
+                payload = json.dumps(batcher.metrics()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
             else:
                 self.send_error(404)
 
