@@ -29,12 +29,37 @@ ImageNet/V2/Sketch-sized 1000-class table so those configs' throughput
 claims are honest (VERDICT r1 weak #5).
 
 Prints exactly one JSON line.
+
+Relay-dark protection: the tunneled relay occasionally goes unresponsive
+for 15-30 min (PERF_NOTES.md measurement protocol) - a hung device fetch
+would otherwise lose the whole benchmark run. A watchdog emits whatever has
+been measured once `TTL_BENCH_BUDGET_S` (default 780 s) elapses, and the
+optional stages (1000-class, multi-chip aggregate, int8 variant, busy-time
+trace) are skipped up front when the remaining budget can't fit them
+(`skipped_stages` lists what was dropped). A normal run (~5-6 min) is
+unaffected.
 """
 import json
+import os
 import pathlib
+import sys
+import threading
 import time
 
 import numpy as np
+
+_PRINTED = threading.Event()
+_EMIT_LOCK = threading.Lock()
+
+
+def emit_once(out: dict) -> None:
+    """Print the single result line exactly once (main path and watchdog
+    race for it; whoever arrives first wins)."""
+    with _EMIT_LOCK:
+        if _PRINTED.is_set():
+            return
+        _PRINTED.set()
+        print(json.dumps(out), flush=True)
 
 
 def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
@@ -93,10 +118,44 @@ def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
 
 def main():
     import jax
+
+    # drive knobs: TTL_BENCH_PLATFORM=cpu + TTL_BENCH_ARCH=test-tiny run the
+    # whole bench surface (stages, budget gating, watchdog, JSON contract)
+    # without TPU hardware - used by tests; harmless no-ops on the driver
+    # (env vars alone are too late to switch platform here: sitecustomize
+    # imports jax at boot, but the config is still rewritable pre-backend)
+    if os.environ.get("TTL_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["TTL_BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from ttl_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
+
+    t_start = time.time()
+    budget = float(os.environ.get("TTL_BENCH_BUDGET_S", "780"))
+    out: dict = {}  # filled stage by stage; the watchdog emits it as-is
+
+    def remaining() -> float:
+        return budget - (time.time() - t_start)
+
+    def watchdog():
+        while not _PRINTED.is_set():
+            if remaining() < -60:
+                break
+            time.sleep(5)
+        if _PRINTED.is_set():
+            return
+        if "value" in out:
+            out["watchdog_timeout"] = True
+            emit_once(out)
+            os._exit(0)
+        print("ERROR: bench watchdog fired before the primary measurement "
+              "completed - relay unresponsive/dark (see PERF_NOTES.md "
+              "measurement protocol); no result to emit", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     from ttl_tpu.config import TTLConfig
     from ttl_tpu.models.clip import init_clip_params
@@ -105,8 +164,11 @@ def main():
     from ttl_tpu.ops.lora import init_adapters
 
     S = 8
-    cfg = TTLConfig(sample_batch=S)  # reference defaults
-    clip_cfg = get_arch(cfg.arch)
+    arch = os.environ.get("TTL_BENCH_ARCH", "ViT-B/16")
+    clip_cfg = get_arch(arch)
+    cfg = TTLConfig(  # reference defaults (at the benched arch)
+        arch=arch, sample_batch=S,
+        resolution=getattr(clip_cfg.vision, "image_size", 224))
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
                               param_dtype=jnp.bfloat16)
     names = json.loads(
@@ -124,15 +186,42 @@ def main():
     hs = np.full((S,), 375, np.int32)
     ws = np.full((S,), 500, np.int32)
 
-    results = {}
     classifiers = {}
-    for n_classes in (200, 1000):
-        toks = jnp.asarray(prompt_tokens(names[:n_classes]))
-        classifiers[n_classes] = build_text_classifier(
-            params["text"], toks, clip_cfg.text)
-        results[n_classes] = measure(clip_cfg, cfg, params,
-                                     classifiers[n_classes],
-                                     adapters0, canv, hs, ws)
+
+    def classifier(n_classes):
+        # built lazily: each build runs the text tower on device, so the
+        # 1000-class table must not delay the primary measurement
+        if n_classes not in classifiers:
+            toks = jnp.asarray(prompt_tokens(names[:n_classes]))
+            classifiers[n_classes] = build_text_classifier(
+                params["text"], toks, clip_cfg.text)
+        return classifiers[n_classes]
+
+    # primary metric first (200-class table, single device), so the
+    # watchdog has a headline figure to emit if the relay degrades
+    # mid-run; every later stage is optional and budget-gated.
+    n_dev = jax.device_count()
+    target = 200.0 * n_dev / 8.0
+    skipped = []
+    sps = measure(clip_cfg, cfg, params, classifier(200),
+                  adapters0, canv, hs, ws)
+    out.update({
+        "metric": f"adapted samples/sec/chip (64-view TTL step, {arch}); "
+                  "co-primary: busy_equivalent_sps (relay-contention-free)",
+        "value": round(sps, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / target, 4),
+        "baseline_note": "target=200/s v5e-8 aggregate -> "
+                         f"{target:.0f}/s at {n_dev} device(s); see "
+                         "BASELINE.md ceiling accounting",
+    })
+
+    if remaining() > 150:
+        out["value_1000_classes"] = round(
+            measure(clip_cfg, cfg, params, classifier(1000),
+                    adapters0, canv, hs, ws), 2)
+    else:
+        skipped.append("1000_classes")
 
     # multi-chip aggregate: whenever >1 device is attached, measure the
     # SAME fused program sharded over a data mesh of all devices at the
@@ -140,34 +229,49 @@ def main():
     # free (one [3]-counts psum per batch), so this materializes the
     # BASELINE.md aggregate claim the moment real multi-chip hardware
     # appears (VERDICT r2 weak #1).
-    n_dev = jax.device_count()
-    aggregate = None
-    if n_dev > 1:
+    if n_dev > 1 and remaining() > 180:
         from ttl_tpu.parallel.mesh import make_mesh
         mesh = make_mesh((n_dev,))
         St = S * n_dev
-        canv_t = np.broadcast_to(canv, (St,) + canv.shape[1:]).copy()
+        # tile the 8-sample canvases to n_dev * 8 (broadcast_to cannot
+        # expand a non-1 leading dim - caught by the CPU-mesh bench drive)
+        canv_t = np.tile(canv, (n_dev, 1, 1, 1))
         hs_t = np.full((St,), 375, np.int32)
         ws_t = np.full((St,), 500, np.int32)
         aggregate = measure(clip_cfg, cfg.replace(sample_batch=St), params,
-                            classifiers[200], adapters0, canv_t, hs_t, ws_t,
+                            classifier(200), adapters0, canv_t, hs_t, ws_t,
                             windows=3, mesh=mesh)
+        out["aggregate_sps"] = round(aggregate, 2)
+        out["per_chip_sps"] = round(aggregate / n_dev, 2)
+        out["device_count"] = n_dev
+        out["vs_baseline"] = round(aggregate / target, 4)
+    elif n_dev > 1:
+        skipped.append("aggregate")
 
     # opt-in int8 frozen-prefix variant (--prefix_quant int8): reported as
     # an auxiliary figure; the primary metric stays the full-precision
     # (accuracy-parity) configuration
-    from ttl_tpu.ops.quant import attach_prefix_quant, quant_prefix_len
-    qcfg = cfg.replace(prefix_quant="int8")
-    qparams = attach_prefix_quant(params, quant_prefix_len(qcfg, clip_cfg))
-    quant_sps = measure(clip_cfg, qcfg, qparams, classifiers[200],
-                        adapters0, canv, hs, ws, windows=3)
+    if remaining() > 150:
+        from ttl_tpu.ops.quant import attach_prefix_quant, quant_prefix_len
+        qcfg = cfg.replace(prefix_quant="int8")
+        qparams = attach_prefix_quant(params,
+                                      quant_prefix_len(qcfg, clip_cfg))
+        out["value_int8_prefix"] = round(
+            measure(clip_cfg, qcfg, qparams, classifier(200),
+                    adapters0, canv, hs, ws, windows=3), 2)
+    else:
+        skipped.append("int8_prefix")
 
     # contention telemetry: the relay chip is multi-tenant and wall-clock
     # collapses 2-3x for minutes at a time (PERF_NOTES.md). Device-busy
     # time from a short trace disambiguates "this build is slow" from "a
     # co-tenant had the chip": busy ~= 260 ms/step on a quiet chip.
     busy_ms = None
+    if remaining() < 60:
+        skipped.append("busy_trace")
     try:
+        if remaining() < 60:
+            raise TimeoutError(f"budget exhausted ({budget:.0f}s)")
         import shutil
         import tempfile
 
@@ -177,7 +281,7 @@ def main():
 
         fused = make_fused_ttl_fn(clip_cfg, cfg)
         count_fn = make_count_fn()
-        text_cls = classifiers[200]
+        text_cls = classifier(200)
         labels = np.zeros((S,), np.int32)
         valid = np.ones((S,), bool)
 
@@ -202,39 +306,17 @@ def main():
     except Exception as e:
         # a silently-dropped trace would be indistinguishable from "chip
         # not busy"; make missing telemetry visibly a failure (ADVICE r2)
-        import sys
         print(f"WARNING: busy-time telemetry failed: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
-    # vs_baseline: the 200/s north star is a v5e-8 AGGREGATE (BASELINE.md
-    # ceiling accounting: ~2.9 TFLOP/sample caps one chip at ~33/s
-    # practical). The comparison is against the target pace for the
-    # attached chip count: 200 * n_dev / 8 (= 25/s on the 1-chip tunnel).
-    sps = results[200]
-    measured_total = aggregate if aggregate is not None else sps
-    target = 200.0 * n_dev / 8.0
-    out = {
-        "metric": "adapted samples/sec/chip (64-view TTL step, ViT-B/16); "
-                  "co-primary: busy_equivalent_sps (relay-contention-free)",
-        "value": round(sps, 2),
-        "unit": "samples/s/chip",
-        "vs_baseline": round(measured_total / target, 4),
-        "baseline_note": "target=200/s v5e-8 aggregate -> "
-                         f"{target:.0f}/s at {n_dev} device(s); see "
-                         "BASELINE.md ceiling accounting",
-        "value_1000_classes": round(results[1000], 2),
-        "value_int8_prefix": round(quant_sps, 2),
-    }
-    if aggregate is not None:
-        out["aggregate_sps"] = round(aggregate, 2)
-        out["per_chip_sps"] = round(aggregate / n_dev, 2)
-        out["device_count"] = n_dev
     if busy_ms:
         out["device_busy_ms_per_step"] = round(busy_ms, 1)
         out["busy_equivalent_sps"] = round(S / (busy_ms / 1000.0), 2)
         out["contention_suspected"] = bool(
             sps < 0.7 * S / (busy_ms / 1000.0))
-    print(json.dumps(out))
+    if skipped:
+        out["skipped_stages"] = skipped
+    emit_once(out)
 
 
 if __name__ == "__main__":

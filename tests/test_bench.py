@@ -40,6 +40,20 @@ def _setup(S):
     return params, text_cls, adapters0, canv, hs, ws
 
 
+def test_emit_once_prints_exactly_once(capsys):
+    """The watchdog and the main path race to print the one result line;
+    whoever arrives second must be a no-op."""
+    import bench
+    bench._PRINTED.clear()
+    try:
+        bench.emit_once({"a": 1})
+        bench.emit_once({"a": 2})
+    finally:
+        lines = capsys.readouterr().out.strip().splitlines()
+        bench._PRINTED.clear()
+    assert lines == ['{"a": 1}']
+
+
 def test_measure_single_device():
     args = _setup(8)
     sps = measure(TEST_TINY, CFG, *args, windows=1, iters=2)
