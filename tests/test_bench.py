@@ -61,6 +61,38 @@ def test_measure_single_device():
 
 
 @pytest.mark.slow
+def test_bench_main_contract():
+    """Drive the driver artifact itself: `python bench.py` at test-tiny on a
+    CPU mesh with a tight budget must exit 0 and print ONE JSON line with
+    the primary fields, listing the budget-skipped optional stages."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               TTL_BENCH_PLATFORM="cpu", TTL_BENCH_ARCH="test-tiny",
+               TTL_BENCH_BUDGET_S="45", TTL_BENCH_WATCHDOG_GRACE_S="600")
+    r = subprocess.run([sys.executable, str(root / "bench.py")],
+                       capture_output=True, text=True, timeout=540, env=env,
+                       cwd=root)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1, r.stdout
+    out = json.loads(lines[0])
+    assert out["unit"] == "samples/s/chip" and out["value"] > 0
+    assert "test-tiny" in out["metric"]
+    # budget 45s is below every optional-stage threshold, so all four must
+    # be skipped (the 8-device CPU mesh makes `aggregate` reachable)
+    assert set(out["skipped_stages"]) == {
+        "1000_classes", "aggregate", "int8_prefix", "busy_trace"}
+
+
+@pytest.mark.slow
 def test_measure_mesh_aggregate():
     """The multi-device bench path: same program sharded over the full
     data mesh, rate measured over the whole (n_dev * per-chip) batch."""
