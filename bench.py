@@ -54,12 +54,15 @@ _EMIT_LOCK = threading.Lock()
 
 def emit_once(out: dict) -> None:
     """Print the single result line exactly once (main path and watchdog
-    race for it; whoever arrives first wins)."""
+    race for it; whoever arrives first wins). The flag is only set after a
+    successful dumps, so a failed serialization attempt (e.g. the main
+    thread mutating `out` mid-copy) does not permanently suppress output."""
     with _EMIT_LOCK:
         if _PRINTED.is_set():
             return
+        line = json.dumps(out)
         _PRINTED.set()
-        print(json.dumps(out), flush=True)
+        print(line, flush=True)
 
 
 def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
@@ -150,7 +153,12 @@ def main():
             return
         if "value" in out:
             out["watchdog_timeout"] = True
-            emit_once(out)
+            for _ in range(5):  # retry: main thread may mutate out mid-dump
+                try:
+                    emit_once(out)
+                    break
+                except Exception:
+                    time.sleep(0.2)
             os._exit(0)
         print("ERROR: bench watchdog fired before the primary measurement "
               "completed - relay unresponsive/dark (see PERF_NOTES.md "
@@ -208,15 +216,19 @@ def main():
     skipped = []
     sps = measure(clip_cfg, cfg, params, classifier(200),
                   adapters0, canv, hs, ws)
+    # the primary figure is a SINGLE-device rate, so its provisional
+    # vs_baseline compares against the per-chip pace (200/8 = 25/s); the
+    # aggregate stage overwrites both with the measured all-device figure
+    # vs the full prorated target when it runs
     out.update({
         "metric": f"adapted samples/sec/chip (64-view TTL step, {arch}); "
                   "co-primary: busy_equivalent_sps (relay-contention-free)",
         "value": round(sps, 2),
         "unit": "samples/s/chip",
-        "vs_baseline": round(sps / target, 4),
-        "baseline_note": "target=200/s v5e-8 aggregate -> "
-                         f"{target:.0f}/s at {n_dev} device(s); see "
-                         "BASELINE.md ceiling accounting",
+        "vs_baseline": round(sps / 25.0, 4),
+        "baseline_note": "target=200/s v5e-8 aggregate = 25/s per chip; "
+                         f"{n_dev} device(s) attached; see BASELINE.md "
+                         "ceiling accounting",
     })
 
     if remaining() > 150:
@@ -270,10 +282,11 @@ def main():
     # time from a short trace disambiguates "this build is slow" from "a
     # co-tenant had the chip": busy ~= 260 ms/step on a quiet chip.
     busy_ms = None
-    if remaining() < 60:
+    skip_trace = remaining() < 60  # evaluated ONCE: skip-list and the
+    if skip_trace:                 # raise below must agree
         skipped.append("busy_trace")
     try:
-        if remaining() < 60:
+        if skip_trace:
             raise TimeoutError(f"budget exhausted ({budget:.0f}s)")
         import shutil
         import tempfile

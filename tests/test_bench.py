@@ -86,6 +86,11 @@ def test_bench_main_contract():
     out = json.loads(lines[0])
     assert out["unit"] == "samples/s/chip" and out["value"] > 0
     assert "test-tiny" in out["metric"]
+    # the primary figure is a single-device rate, so its provisional
+    # vs_baseline must be against the PER-CHIP pace (25/s) even with 8
+    # devices attached (the aggregate stage, skipped here, overwrites it)
+    assert out["vs_baseline"] == pytest.approx(out["value"] / 25.0,
+                                               rel=1e-3)
     # budget 45s is below every optional-stage threshold, so all four must
     # be skipped (the 8-device CPU mesh makes `aggregate` reachable)
     assert set(out["skipped_stages"]) == {

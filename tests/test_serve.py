@@ -202,6 +202,17 @@ def test_microbatcher_backpressure(predictor):
     assert time.time() - t0 < 20
 
 
+def test_microbatcher_rejects_unbounded_queue(predictor):
+    """queue.Queue(maxsize=0) means unbounded, which would silently disable
+    the backpressure watermark - MicroBatcher must reject it."""
+    from ttl_tpu.serve import MicroBatcher
+
+    with pytest.raises(ValueError, match="max_queue"):
+        MicroBatcher(_SlowPredictor(predictor), max_queue=0)
+    with pytest.raises(ValueError, match="max_queue"):
+        MicroBatcher(_SlowPredictor(predictor), max_queue=-3)
+
+
 def test_http_overload_returns_503(predictor):
     """HTTP face of the same: overload requests get 503 + Retry-After
     immediately; accepted ones still return 200."""

@@ -34,7 +34,9 @@ def main():
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(int(args.timeout))
+    # setitimer keeps fractional timeouts; alarm(int(0.5)) would be
+    # alarm(0), i.e. no timeout at all
+    signal.setitimer(signal.ITIMER_REAL, args.timeout)
 
     import numpy as np
 
@@ -52,7 +54,7 @@ def main():
     y = jax.jit(lambda a: a * 2)(jax.numpy.ones((8,)))
     np.asarray(y)
     t2 = time.time()
-    signal.alarm(0)
+    signal.setitimer(signal.ITIMER_REAL, 0)
     print(f"relay ok: {dev[0].platform}:{dev[0].device_kind} "
           f"startup+compile+fetch {t1 - t0:.1f}s, "
           f"steady fetch {t2 - t1:.2f}s "

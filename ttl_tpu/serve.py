@@ -208,10 +208,18 @@ class MicroBatcher:
         self.max_delay = max_delay_ms / 1e3
         s = predictor.cfg.sample_batch
         self.max_queue = max_queue if max_queue is not None else 4 * s
+        if self.max_queue < 1:
+            # queue.Queue(maxsize=0) means UNBOUNDED - the exact backlog
+            # this watermark exists to prevent - so reject it loudly
+            raise ValueError(
+                f"max_queue must be >= 1 (got {self.max_queue})")
         self.q: queue.Queue = queue.Queue(maxsize=self.max_queue)
         # EWMA of the fused-step wall time, for the Retry-After hint
         self._step_s = 0.5
         self._t0 = time.time()
+        # counters are mutated from concurrent handler threads; guard the
+        # read-modify-writes so /metrics cannot undercount
+        self._m_lock = threading.Lock()
         self.accepted = 0
         self.shed = 0
         self.served = 0
@@ -224,11 +232,13 @@ class MicroBatcher:
         try:
             self.q.put_nowait((blob, fut))
         except queue.Full:
-            self.shed += 1
+            with self._m_lock:
+                self.shed += 1
             s = self.predictor.cfg.sample_batch
             steps_backlogged = (self.max_queue + s - 1) // s
             raise Overloaded(max(1.0, steps_backlogged * self._step_s))
-        self.accepted += 1
+        with self._m_lock:
+            self.accepted += 1
         return fut
 
     def metrics(self) -> dict:
