@@ -295,6 +295,9 @@ def test_http_metrics_endpoint(predictor):
     assert m["shed_total"] == 0 and m["queue_depth"] == 0
     assert m["sample_batch"] == predictor.cfg.sample_batch
     assert m["step_ewma_ms"] > 0 and m["uptime_s"] >= 0
+    # submit->result latency percentiles over the served window
+    assert m["latency_p50_ms"] > 0
+    assert m["latency_p50_ms"] <= m["latency_p95_ms"] <= m["latency_p99_ms"]
 
 
 def test_mesh_predictor_matches_single_device(predictor):

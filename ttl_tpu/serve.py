@@ -20,6 +20,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import List, Sequence
 
@@ -224,13 +225,17 @@ class MicroBatcher:
         self.shed = 0
         self.served = 0
         self.batches = 0
+        # submit->result latency of the last 512 served requests, for the
+        # /metrics percentiles (deque append is atomic; sorted snapshot at
+        # read time)
+        self._lat_ms: deque = deque(maxlen=512)
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
 
     def submit(self, blob: bytes) -> Future:
         fut: Future = Future()
         try:
-            self.q.put_nowait((blob, fut))
+            self.q.put_nowait((blob, fut, time.time()))
         except queue.Full:
             with self._m_lock:
                 self.shed += 1
@@ -243,7 +248,14 @@ class MicroBatcher:
 
     def metrics(self) -> dict:
         """Live serving counters (served by GET /metrics)."""
+        lat = sorted(self._lat_ms)
+        pct = {}
+        if lat:
+            pct = {f"latency_p{p}_ms":
+                   round(lat[min(len(lat) - 1, int(len(lat) * p / 100))], 1)
+                   for p in (50, 95, 99)}
         return {
+            **pct,
             "uptime_s": round(time.time() - self._t0, 1),
             "accepted_total": self.accepted,
             "shed_total": self.shed,
@@ -262,11 +274,13 @@ class MicroBatcher:
             results = self.predictor.collect(handle)
             self._step_s = 0.7 * self._step_s + 0.3 * (time.time() - t0)
             self.batches += 1
-            for fut, res in zip(futs, results):
+            done = time.time()
+            for (fut, ts), res in zip(futs, results):
                 fut.set_result(res)
                 self.served += 1
+                self._lat_ms.append((done - ts) * 1e3)
         except Exception as e:  # pragma: no cover - device failure
-            for fut in futs:
+            for fut, _ in futs:
                 fut.set_exception(e)
 
     def _loop(self):
@@ -292,11 +306,11 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             images, futs = [], []
-            for blob, fut in group:
+            for blob, fut, ts in group:
                 try:
                     images.append(np.asarray(
                         Image.open(io.BytesIO(blob)).convert("RGB")))
-                    futs.append(fut)
+                    futs.append((fut, ts))
                 except Exception as e:
                     fut.set_exception(e)
             if not images:
@@ -304,7 +318,7 @@ class MicroBatcher:
             try:
                 handle = self.predictor.dispatch(images)
             except Exception as e:  # pragma: no cover - device failure
-                for fut in futs:
+                for fut, _ in futs:
                     fut.set_exception(e)
                 continue
             if pending is not None:
