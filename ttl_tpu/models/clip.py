@@ -23,6 +23,7 @@ forward is `x @ w + b` (torch checkpoints are transposed on conversion).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -494,17 +495,44 @@ def _init_layers(key, n, d, mlp_ratio, dtype):
 def init_clip_params(key: jax.Array, cfg: CLIPConfig,
                      param_dtype=jnp.float32) -> Params:
     """Random-init parameter pytree (tests / bench; real runs convert a
-    checkpoint via ttl_tpu.models.convert)."""
+    checkpoint via ttl_tpu.models.convert).
+
+    The whole init is ONE jitted program: eager per-tensor `jax.random`
+    calls each pay a relay round trip on the tunneled TPU, which made
+    ViT-B param init alone ~73 s of CLI/serve startup; a single dispatch
+    (whose executable the persistent cache keeps) is seconds. Values are
+    identical - jit traces the same ops. The ResNet vision branch stays
+    eager (its init is host-side numpy, resnet.py:202), but its text
+    tower goes through the same jitted path."""
+    v, t = cfg.vision, cfg.text
+    if not isinstance(v, VisionConfig):  # ResNet backbone
+        from .resnet import init_resnet_params
+        kv, kt, kl = jax.random.split(key, 3)
+        kts = jax.random.split(kt, 3)
+        vision = init_resnet_params(kv, v, param_dtype)
+        text = _jitted_text_init(t, jnp.dtype(param_dtype).name)(kts, kl)
+        return {"vision": vision, "text": text,
+                "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32)}
+    return _jitted_vit_init(cfg, jnp.dtype(param_dtype).name)(key)
+
+
+# the jitted init closures are cached per (config, dtype): a fresh lambda
+# per call would defeat jax.jit's executable cache and recompile every call
+@functools.lru_cache(maxsize=None)
+def _jitted_vit_init(cfg: CLIPConfig, dtype_name: str):
+    return jax.jit(lambda k: _init_vit_clip(k, cfg, jnp.dtype(dtype_name)))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_text_init(t: TextConfig, dtype_name: str):
+    return jax.jit(lambda a, b: _init_text(a, b, t, jnp.dtype(dtype_name)))
+
+
+def _init_vit_clip(key: jax.Array, cfg: CLIPConfig, param_dtype) -> Params:
     kv, kt, kl = jax.random.split(key, 3)
     v, t = cfg.vision, cfg.text
     kvs = jax.random.split(kv, 4)
     kts = jax.random.split(kt, 3)
-    if not isinstance(v, VisionConfig):  # ResNet backbone
-        from .resnet import init_resnet_params
-        vision = init_resnet_params(kv, v, param_dtype)
-        return {"vision": vision,
-                "text": _init_text(kts, kl, t, param_dtype),
-                "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32)}
     vision = {
         "patch_embed": jax.random.normal(
             kvs[0], (3 * v.patch * v.patch, v.hidden), param_dtype) * 0.02,
