@@ -497,22 +497,29 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig,
     """Random-init parameter pytree (tests / bench; real runs convert a
     checkpoint via ttl_tpu.models.convert).
 
-    The whole init is ONE jitted program: eager per-tensor `jax.random`
-    calls each pay a relay round trip on the tunneled TPU, which made
-    ViT-B param init alone ~73 s of CLI/serve startup; a single dispatch
-    (whose executable the persistent cache keeps) is seconds. Values are
-    identical - jit traces the same ops. The ResNet vision branch stays
-    eager (its init is host-side numpy, resnet.py:202), but its text
-    tower goes through the same jitted path."""
+    On non-CPU backends the whole init is ONE jitted program: eager
+    per-tensor `jax.random` calls each pay a relay round trip on the
+    tunneled TPU, which made ViT-B param init alone ~73 s of CLI/serve
+    startup; a single dispatch (whose executable the persistent cache
+    keeps) is seconds. On CPU (the test environment) the init stays eager:
+    there are no round trips to save, and the one-off XLA compile of the
+    init program would instead slow every spawned test subprocess. Values
+    agree to ~1e-8 (XLA fuses `normal*scale` into an fma under jit). The
+    ResNet vision branch is always eager (host-side numpy, resnet.py:202);
+    its text tower follows the same backend rule."""
     v, t = cfg.vision, cfg.text
+    on_cpu = jax.default_backend() == "cpu"
     if not isinstance(v, VisionConfig):  # ResNet backbone
         from .resnet import init_resnet_params
         kv, kt, kl = jax.random.split(key, 3)
         kts = jax.random.split(kt, 3)
         vision = init_resnet_params(kv, v, param_dtype)
-        text = _jitted_text_init(t, jnp.dtype(param_dtype).name)(kts, kl)
+        text = (_init_text(kts, kl, t, param_dtype) if on_cpu else
+                _jitted_text_init(t, jnp.dtype(param_dtype).name)(kts, kl))
         return {"vision": vision, "text": text,
                 "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32)}
+    if on_cpu:
+        return _init_vit_clip(key, cfg, param_dtype)
     return _jitted_vit_init(cfg, jnp.dtype(param_dtype).name)(key)
 
 
