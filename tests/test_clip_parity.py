@@ -219,3 +219,31 @@ def test_openai_layout_roundtrip(jparams):
     for k, va in flat_a:
         np.testing.assert_allclose(va, flat_b[jax.tree_util.keystr(k)],
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_jitted_init_matches_eager():
+    """The TPU startup path inits params as ONE jitted program
+    (models/clip.py::_jitted_vit_init); on CPU the product path is eager,
+    so pin here that the jitted program compiles and reproduces the eager
+    values (tolerance covers XLA fusing normal*scale into an fma)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from ttl_tpu.models.clip import (_init_vit_clip, _jitted_text_init,
+                                     _jitted_vit_init)
+    from ttl_tpu.models.zoo import TEST_TINY
+
+    key = jax.random.PRNGKey(11)
+    jit_p = _jitted_vit_init(TEST_TINY, "float32")(key)
+    eager_p = _init_vit_clip(key, TEST_TINY, jnp.float32)
+    for (path, a), b in zip(jtu.tree_leaves_with_path(jit_p),
+                            jtu.tree_leaves(eager_p)):
+        assert a.shape == b.shape and a.dtype == b.dtype, jtu.keystr(path)
+        assert bool(jnp.allclose(a, b, atol=1e-6)), jtu.keystr(path)
+
+    # the ResNet branch's text tower goes through the jitted text init
+    kts = jax.random.split(jax.random.PRNGKey(12), 3)
+    kl = jax.random.PRNGKey(13)
+    t = _jitted_text_init(TEST_TINY.text, "float32")(kts, kl)
+    assert t["token_embed"].shape[0] == TEST_TINY.text.vocab
