@@ -179,7 +179,7 @@ def main():
     clip_cfg = get_arch(arch)
     cfg = TTLConfig(  # reference defaults (at the benched arch)
         arch=arch, sample_batch=S,
-        resolution=getattr(clip_cfg.vision, "image_size", 224))
+        resolution=clip_cfg.vision.image_size)
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
                               param_dtype=jnp.bfloat16)
     names = json.loads(

@@ -59,7 +59,7 @@ def main():
     # resolution must follow the arch (ViT-L/14@336px patchifies at 336;
     # the TTLConfig default of 224 would break the vision reshape)
     cfg = TTLConfig(arch=args.arch, sample_batch=S,
-                    resolution=getattr(clip_cfg.vision, "image_size", 224))
+                    resolution=clip_cfg.vision.image_size)
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
                               param_dtype=jnp.bfloat16)
     names = json.loads(
