@@ -65,6 +65,17 @@ def test_full_run_deterministic():
     assert r1["eurosat"] == r2["eurosat"]
 
 
+def test_pipeline_depth_does_not_change_results():
+    """--pipeline_depth only changes dispatch/fetch overlap; accuracy must
+    be identical at any depth (and depth<1 is clamped to serial)."""
+    ds = make_synthetic_dataset()
+    base = run(CFG, datasets={"eurosat": ds})
+    for depth in (1, 4):
+        r = run(CFG.replace(pipeline_depth=depth),
+                datasets={"eurosat": ds})
+        assert r["eurosat"] == base["eurosat"], depth
+
+
 def test_zero_tta_steps_is_zero_shot():
     ds = make_synthetic_dataset()
     r = run(CFG.replace(tta_steps=0), datasets={"eurosat": ds})

@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--sample_batch", default=d.sample_batch, type=int,
                    help="test samples adapted concurrently per step (vmap)")
+    p.add_argument("--pipeline_depth", default=d.pipeline_depth, type=int,
+                   help="device steps kept in flight by the eval loop "
+                        "(results identical at any depth; raise for small "
+                        "fast programs where the per-step round trip "
+                        "dominates)")
     p.add_argument("--checkpoint_path", default=d.checkpoint_path, type=str,
                    help="local CLIP checkpoint (HF .bin/.safetensors or "
                         "OpenAI .pt)")

@@ -96,6 +96,12 @@ class TTLConfig:
     # for any value (episodic adaptation is independent by construction);
     # 8 keeps a v5e chip saturated while bounding latency/memory
     sample_batch: int = 8
+    # device steps kept in flight by the eval loop. 2 hides the ~40ms
+    # relay round trip behind the 266ms ViT-B/16 step; small programs
+    # (e.g. ViT-B/32 at <100ms/step) can need depth ~ RTT/step_time + 1
+    # (PERF_NOTES "small-program profile"). Results are identical at any
+    # depth - it only changes dispatch/fetch overlap
+    pipeline_depth: int = 2
     mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh, None = all chips
     param_dtype: str = "bfloat16"            # frozen tower weights
     compute_dtype: str = "bfloat16"          # activations (entropy math stays fp32)

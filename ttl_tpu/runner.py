@@ -295,10 +295,12 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
             res = step_fn(params, *state, canv, hs, ws, idxs)
         return count_fn(get_logits(res), labels, valid)
 
-    # keep a couple of device steps in flight so the host-side fetch and
-    # decode overlap TPU compute (the per-dispatch round trip is ~40ms on
-    # the tunneled chip; the reference's loop serializes it all)
-    DEPTH = 2
+    # keep device steps in flight so the host-side fetch and decode
+    # overlap TPU compute (the per-dispatch round trip is ~40ms on the
+    # tunneled chip; the reference's loop serializes it all). Depth 2
+    # suffices for ~266ms ViT-B/16 steps; --pipeline_depth raises it for
+    # small fast programs (PERF_NOTES "small-program profile")
+    DEPTH = max(1, cfg.pipeline_depth)
     in_flight = []
     end = time.time()
 
