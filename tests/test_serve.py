@@ -202,6 +202,31 @@ def test_microbatcher_backpressure(predictor):
     assert time.time() - t0 < 20
 
 
+def test_drain_waits_for_accepted_requests(predictor):
+    """serve()'s graceful shutdown drains every accepted request - served
+    AND failed (a malformed body resolves with an exception and must not
+    stall the drain)."""
+    from ttl_tpu.serve import MicroBatcher, drain
+
+    img = np.random.RandomState(1).randint(0, 255, (64, 64, 3),
+                                           dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+
+    mb = MicroBatcher(_SlowPredictor(predictor), max_delay_ms=1.0)
+    good = [mb.submit(buf.getvalue()) for _ in range(3)]
+    bad = mb.submit(b"not an image")
+    assert drain(mb, timeout_s=30.0)
+    for fut in good:
+        assert fut.result(timeout=1)["label"] in CLASSES
+    with pytest.raises(Exception):
+        bad.result(timeout=1)
+    m = mb.metrics()
+    assert m["served_total"] == 3 and m["failed_total"] == 1
+    # already-drained batcher drains immediately
+    assert drain(mb, timeout_s=0.5)
+
+
 def test_microbatcher_rejects_unbounded_queue(predictor):
     """queue.Queue(maxsize=0) means unbounded, which would silently disable
     the backpressure watermark - MicroBatcher must reject it."""

@@ -224,6 +224,7 @@ class MicroBatcher:
         self.accepted = 0
         self.shed = 0
         self.served = 0
+        self.failed = 0  # accepted but resolved with an exception
         self.batches = 0
         # submit->result latency of the last 512 served requests, for the
         # /metrics percentiles (deque append is atomic; sorted snapshot at
@@ -260,6 +261,7 @@ class MicroBatcher:
             "accepted_total": self.accepted,
             "shed_total": self.shed,
             "served_total": self.served,
+            "failed_total": self.failed,
             "batches_total": self.batches,
             "queue_depth": self.q.qsize(),
             "max_queue": self.max_queue,
@@ -282,6 +284,8 @@ class MicroBatcher:
         except Exception as e:  # pragma: no cover - device failure
             for fut, _ in futs:
                 fut.set_exception(e)
+                with self._m_lock:
+                    self.failed += 1
 
     def _loop(self):
         from PIL import Image
@@ -313,6 +317,8 @@ class MicroBatcher:
                     futs.append((fut, ts))
                 except Exception as e:
                     fut.set_exception(e)
+                    with self._m_lock:
+                        self.failed += 1
             if not images:
                 continue
             try:
@@ -320,6 +326,8 @@ class MicroBatcher:
             except Exception as e:  # pragma: no cover - device failure
                 for fut, _ in futs:
                     fut.set_exception(e)
+                    with self._m_lock:
+                        self.failed += 1
                 continue
             if pending is not None:
                 self._resolve(pending)
@@ -393,7 +401,42 @@ def serve(predictor: TTLPredictor, host: str = "127.0.0.1",
     print(f"ttl_tpu serving on http://{host}:{port}/predict "
           f"(batch {predictor.cfg.sample_batch}, "
           f"gather {max_delay_ms}ms)", flush=True)
+    _install_graceful_shutdown(httpd, batcher)
     httpd.serve_forever()
+    drain(batcher)
+
+
+def _install_graceful_shutdown(httpd, batcher) -> None:
+    """SIGTERM/SIGINT stop the accept loop; already-accepted requests are
+    drained afterwards (serve() calls drain()). Signal handlers only bind
+    in the main thread - under a test harness thread this is a no-op and
+    the caller shuts the server down directly."""
+    import signal
+
+    def _stop(signum, frame):
+        print(f"ttl_tpu serve: signal {signum}, draining "
+              f"{batcher.q.qsize()} queued request(s)...", flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _stop)
+        signal.signal(signal.SIGINT, _stop)
+    except ValueError:  # not the main thread
+        pass
+
+
+def drain(batcher: MicroBatcher, timeout_s: float = 60.0) -> bool:
+    """Block until every accepted request has been resolved (served or
+    failed), up to timeout_s. Returns True when fully drained. Shed
+    requests were rejected at submit and need no draining."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        with batcher._m_lock:
+            pending = batcher.accepted - batcher.served - batcher.failed
+        if pending <= 0 and batcher.q.empty():
+            return True
+        time.sleep(0.05)
+    return False
 
 
 def main(argv=None):
