@@ -26,17 +26,24 @@ def main():
                     help="probe the CPU backend instead (self-test)")
     args = ap.parse_args()
 
-    def on_alarm(signum, frame):
+    def dark(how: str):
         print(f"RELAY DARK: no matmul+fetch round trip within "
-              f"{args.timeout:.0f}s - do CPU work and retry later "
+              f"{args.timeout:.0f}s ({how}) - do CPU work and retry later "
               f"(PERF_NOTES.md measurement protocol)", file=sys.stderr,
               flush=True)
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, on_alarm)
+    signal.signal(signal.SIGALRM, lambda s, f: dark("alarm"))
     # setitimer keeps fractional timeouts; alarm(int(0.5)) would be
     # alarm(0), i.e. no timeout at all
     signal.setitimer(signal.ITIMER_REAL, args.timeout)
+    # second line of defense: SIGALRM is only delivered when the main
+    # thread re-enters Python, and a hard connect-phase hang can block in C
+    # past that (observed on the relay) - a watchdog thread still runs
+    import threading
+    t = threading.Timer(args.timeout + 10, dark, args=("watchdog thread",))
+    t.daemon = True
+    t.start()
 
     import numpy as np
 
