@@ -32,6 +32,8 @@ class ArraySizedDataset:
     def __init__(self, images, labels):
         self.images = images
         self.labels = labels
+        # declared image bound -> the runner auto-fits the canvas
+        self.max_image_dim = max(max(im.shape[:2]) for im in images)
 
     def __len__(self):
         return len(self.images)
@@ -63,6 +65,18 @@ def test_full_run_deterministic():
     r1 = run(CFG, datasets={"eurosat": ds})
     r2 = run(CFG, datasets={"eurosat": ds})
     assert r1["eurosat"] == r2["eurosat"]
+
+
+def test_auto_canvas_matches_default_canvas():
+    """--canvas 0 auto-fits datasets that declare max_image_dim; the crops
+    read only the image area (zero padding beyond it contributes exact
+    zeros to the bicubic taps), so results must be identical to the 512
+    default at a fraction of the host->device transfer."""
+    ds = make_synthetic_dataset()
+    assert ds.max_image_dim < 512  # auto actually shrinks the canvas
+    auto = run(CFG.replace(canvas=0), datasets={"eurosat": ds})
+    full = run(CFG.replace(canvas=512), datasets={"eurosat": ds})
+    assert auto["eurosat"] == full["eurosat"]
 
 
 def test_pipeline_depth_does_not_change_results():

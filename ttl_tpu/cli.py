@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--sample_batch", default=d.sample_batch, type=int,
                    help="test samples adapted concurrently per step (vmap)")
+    p.add_argument("--canvas", default=d.canvas, type=int,
+                   help="host->device canvas edge in pixels; 0 = auto "
+                        "(fit datasets that declare their image size, else "
+                        "512). Set to the dataset's max image dim to cut "
+                        "upload bandwidth; identical results whenever no "
+                        "image exceeds it")
     p.add_argument("--pipeline_depth", default=d.pipeline_depth, type=int,
                    help="device steps kept in flight by the eval loop "
                         "(results identical at any depth; raise for small "
@@ -146,10 +152,11 @@ def config_from_args(args: argparse.Namespace) -> TTLConfig:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    from .utils.jaxcache import enable_compilation_cache, honor_platform_env
+    honor_platform_env()  # entry point: JAX_PLATFORMS env is authoritative
     if args.init_distributed:
         import jax
         jax.distributed.initialize()
-    from .utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     from .runner import run
     if args.profile:

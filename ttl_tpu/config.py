@@ -102,6 +102,14 @@ class TTLConfig:
     # (PERF_NOTES "small-program profile"). Results are identical at any
     # depth - it only changes dispatch/fetch overlap
     pipeline_depth: int = 2
+    # host->device canvas edge (uint8 [S, canvas, canvas, 3] per step).
+    # 0 = auto: a dataset that declares `max_image_dim` (in-memory arrays,
+    # CIFAR-10) gets a canvas that exactly fits; others use 512. Small-image
+    # datasets (e.g. EuroSAT's 64px) can set --canvas 64 explicitly to cut
+    # the per-step host->device transfer up to 64x - results are identical
+    # whenever no image exceeds the canvas (crops read only the image area;
+    # oversized images are downscaled to fit, as at any canvas size)
+    canvas: int = 0
     mesh_shape: Optional[Tuple[int, ...]] = None  # data-parallel mesh, None = all chips
     param_dtype: str = "bfloat16"            # frozen tower weights
     compute_dtype: str = "bfloat16"          # activations (entropy math stays fp32)

@@ -21,6 +21,8 @@ import numpy as np
 class Cifar10Dataset:
     """mode='test' -> test_batch; mode='train' -> data_batch_1..5."""
 
+    max_image_dim = 32  # lets the runner auto-fit the canvas
+
     def __init__(self, root: str, mode: str = "test"):
         files = (["test_batch"] if mode == "test"
                  else [f"data_batch_{i}" for i in range(1, 6)])

@@ -192,6 +192,8 @@ class ArrayDataset:
     def __init__(self, images: np.ndarray, labels: np.ndarray, tmpdir=None):
         self.images = images
         self.labels = labels
+        # lets the runner auto-fit the canvas (TTLConfig.canvas == 0)
+        self.max_image_dim = int(max(images.shape[1], images.shape[2]))
 
     def __len__(self):
         return len(self.images)

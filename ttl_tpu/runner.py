@@ -27,7 +27,7 @@ import numpy as np
 from .config import TTLConfig
 from .data.classnames import resolve_classnames
 from .data.registry import build_dataset
-from .data.views import SampleLoader
+from .data.views import DEFAULT_CANVAS, SampleLoader
 from .models import clip as jclip
 from .models.clip import init_clip_params
 from .models.convert import load_checkpoint
@@ -141,8 +141,14 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
                          f"multiple of process_count ({n_proc})")
     n_total = len(dataset) if max_samples is None \
         else min(len(dataset), max_samples)
+    # canvas: explicit --canvas wins; 0 = auto-fit datasets that declare
+    # their max image dim (identical results - crops read only the image
+    # area - at up to 64x less host->device transfer for small images)
+    canvas = cfg.canvas if cfg.canvas > 0 else \
+        (getattr(dataset, "max_image_dim", None) or DEFAULT_CANVAS)
     loader = SampleLoader(
         dataset, batch_size=local_bs, shuffle=True, seed=cfg.seed,
+        canvas=canvas,
         max_samples=max_samples, workers=cfg.workers,
         shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
         total_batches=((n_total + cfg.sample_batch - 1) // cfg.sample_batch
