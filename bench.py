@@ -131,7 +131,10 @@ def main():
         jax.config.update("jax_platforms", os.environ["TTL_BENCH_PLATFORM"])
     import jax.numpy as jnp
 
-    from ttl_tpu.utils.jaxcache import enable_compilation_cache
+    from ttl_tpu.utils.jaxcache import enable_compilation_cache, \
+        honor_platform_env
+    if not os.environ.get("TTL_BENCH_PLATFORM"):
+        honor_platform_env()  # entry point: JAX_PLATFORMS env is authoritative
     enable_compilation_cache()
 
     t_start = time.time()

@@ -36,10 +36,11 @@ def test_cli_end_to_end_subprocess(imagenet_a_tree):
          "-b", "8", "--layer_range", "2,3", "--rank", "4",
          "--compute_dtype", "float32", "--param_dtype", "float32",
          "--sample_batch", "2", "--max_samples", "4"],
-        # CPU XLA compile of the fused program dominates (~6 min alone);
-        # leave headroom for a loaded machine - observed >600s flakes when
-        # the suite shares the box with other work
-        capture_output=True, text=True, timeout=1500, env=env,
+        # ~30s since jaxcache.honor_platform_env: the historical "~6 min
+        # CPU compile" was actually the relay plugin ignoring
+        # JAX_PLATFORMS=cpu and waiting out its connect timeout; headroom
+        # kept for loaded machines
+        capture_output=True, text=True, timeout=600, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Result Summary" in out.stdout

@@ -126,7 +126,7 @@ def predict_directory(cfg, classnames, *, dataset=None, topk: int = 5,
 def main(argv=None):
     from .config import TTLConfig
     from .data.classnames import resolve_classnames
-    from .utils.jaxcache import enable_compilation_cache
+    from .utils.jaxcache import enable_compilation_cache, honor_platform_env
 
     p = argparse.ArgumentParser(description="TTL batch prediction")
     p.add_argument("data", metavar="IMAGES_DIR")
@@ -151,6 +151,7 @@ def main(argv=None):
                                                "stdout)")
     args = p.parse_args(argv)
 
+    honor_platform_env()  # entry point: JAX_PLATFORMS env is authoritative
     enable_compilation_cache()
     cfg = TTLConfig(data=args.data, arch=args.arch,
                     resolution=args.resolution,

@@ -443,6 +443,8 @@ def main(argv=None):
     import argparse
 
     from .data.classnames import resolve_classnames
+    from .utils.jaxcache import honor_platform_env
+    honor_platform_env()  # entry point: JAX_PLATFORMS env is authoritative
 
     p = argparse.ArgumentParser(description="TTL-TPU serving endpoint")
     p.add_argument("--test_sets", default="eurosat",
