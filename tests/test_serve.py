@@ -202,6 +202,20 @@ def test_microbatcher_backpressure(predictor):
     assert time.time() - t0 < 20
 
 
+def test_predictor_small_canvas_matches_default(predictor):
+    """cfg.canvas shrinks the per-request upload; predictions must be
+    identical whenever the image fits the canvas (content-keyed views,
+    zero padding contributes exact zeros)."""
+    params = init_clip_params(jax.random.PRNGKey(0), TEST_TINY)
+    small = TTLPredictor(CLASSES, CFG.replace(canvas=128), params=params,
+                         clip_cfg=TEST_TINY, warmup=False)
+    assert small._canvas == 128
+    imgs = [np.random.RandomState(i).randint(0, 255, (100, 120, 3),
+                                             dtype=np.uint8)
+            for i in range(3)]
+    assert small.predict(imgs) == predictor.predict(imgs)
+
+
 def test_drain_waits_for_accepted_requests(predictor):
     """serve()'s graceful shutdown drains every accepted request - served
     AND failed (a malformed body resolves with an exception and must not

@@ -94,7 +94,11 @@ class TTLPredictor:
         self.step_fn = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks,
                                          mesh=self.mesh,
                                          n_classes=len(self.classnames))
-        self._canvas = 512
+        # --canvas: smaller canvases cut the per-step host->device upload
+        # (the wall bottleneck for small fast programs, PERF_NOTES);
+        # requests larger than the canvas are downscaled to fit, as in the
+        # eval loader
+        self._canvas = cfg.canvas if cfg.canvas > 0 else 512
         self._lock = threading.Lock()  # device dispatch is single-stream
         if warmup:
             self.predict([np.zeros((64, 64, 3), np.uint8)])
@@ -454,6 +458,10 @@ def main(argv=None):
     p.add_argument("--checkpoint_path", default=None)
     p.add_argument("--sample_batch", default=4, type=int,
                    help="max requests batched into one device step")
+    p.add_argument("--canvas", default=0, type=int,
+                   help="request canvas edge in px (0 = 512); set to the "
+                        "expected max image dim to cut upload bandwidth - "
+                        "larger images are downscaled to fit")
     p.add_argument("--mesh", action="store_true",
                    help="shard request batches over all chips (data-parallel"
                         " serving; sample_batch must be a multiple of the "
@@ -474,7 +482,7 @@ def main(argv=None):
     cfg = TTLConfig(arch=args.arch, resolution=args.resolution,
                     checkpoint_path=args.checkpoint_path,
                     sample_batch=args.sample_batch,
-                    test_sets=args.test_sets,
+                    test_sets=args.test_sets, canvas=args.canvas,
                     prefix_quant=args.prefix_quant)
     predictor = TTLPredictor(resolve_classnames(args.test_sets), cfg,
                              use_mesh=args.mesh)
