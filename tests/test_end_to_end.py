@@ -67,6 +67,16 @@ def test_full_run_deterministic():
     assert r1["eurosat"] == r2["eurosat"]
 
 
+def test_eurosat_declares_fixed_image_dim(tmp_path):
+    """EuroSAT images are a fixed 64x64; the registry declares that bound
+    so the runner auto-fits its canvas (64x less host->device upload)."""
+    from ttl_tpu.data.registry import build_dataset
+    ds = build_dataset("eurosat",
+                       CFG.replace(data=str(tmp_path), dataset_mode="test"))
+    assert ds.max_image_dim == 64
+    assert len(ds) > 0  # bundled CoOp split resolves paths without files
+
+
 def test_auto_canvas_matches_default_canvas():
     """--canvas 0 auto-fits datasets that declare max_image_dim; the crops
     read only the image area (zero padding beyond it contributes exact

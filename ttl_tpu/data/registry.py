@@ -63,10 +63,17 @@ def build_dataset(set_id: str, args, n_shot=None):
             return AircraftDataset(base, mode=args.dataset_mode,
                                    n_shot=n_shot)
         subdir = _IMAGE_SUBDIR.get(set_id.lower(), "")
-        return JsonSplitDataset(
+        ds = JsonSplitDataset(
             os.path.join(base, subdir) if subdir else base,
             SPLIT_FILES[set_id.lower()], mode=args.dataset_mode,
             n_shot=n_shot)
+        if set_id.lower() == "eurosat":
+            # EuroSAT images are a fixed 64x64 (Sentinel-2 patches) - the
+            # declared bound lets the runner auto-fit its host->device
+            # canvas (64x less upload than the 512 default; identical
+            # results, TTLConfig.canvas)
+            ds.max_image_dim = 64
+        return ds
     if set_id == "bongard":
         from .bongard import BongardDataset
         return BongardDataset(root, mode=args.dataset_mode)
