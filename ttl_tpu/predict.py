@@ -88,8 +88,12 @@ def predict_directory(cfg, classnames, *, dataset=None, topk: int = 5,
             return logits, logits
 
     ds = dataset if dataset is not None else ImageDirDataset(cfg.data)
+    # --canvas: same auto-fit rule as the eval loop (runner.py) - explicit
+    # size wins, datasets that declare max_image_dim shrink the upload
+    canvas = cfg.canvas if cfg.canvas > 0 else \
+        (getattr(ds, "max_image_dim", None) or 512)
     loader = SampleLoader(ds, batch_size=cfg.sample_batch, shuffle=False,
-                          workers=cfg.workers)
+                          workers=cfg.workers, canvas=canvas)
 
     n_written = 0
 
@@ -146,6 +150,10 @@ def main(argv=None):
                    choices=["none", "int8"],
                    help="int8-quantize the frozen vision prefix "
                         "(throughput over exact parity; see PERF_NOTES)")
+    p.add_argument("--canvas", default=0, type=int,
+                   help="host->device canvas edge in px (0 = 512); set to "
+                        "the directory's max image dim to cut upload "
+                        "bandwidth - larger images are downscaled to fit")
     p.add_argument("--topk", default=5, type=int)
     p.add_argument("--out", default=None, help="output JSONL (default "
                                                "stdout)")
@@ -158,7 +166,7 @@ def main(argv=None):
                     checkpoint_path=args.checkpoint_path,
                     tta_steps=args.tta_steps,
                     lora_encoder=args.lora_encoder,
-                    sample_batch=args.sample_batch,
+                    sample_batch=args.sample_batch, canvas=args.canvas,
                     prefix_quant=args.prefix_quant)
     classnames = (json.load(open(args.classnames))
                   if args.classnames else resolve_classnames(args.test_sets))
