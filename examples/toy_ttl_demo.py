@@ -92,7 +92,7 @@ def main():
                     compute_dtype="float32")
     view_fn = make_batched_view_fn(cfg.batch_size, 64,
                                    out_dtype=jnp.float32)
-    adapt = make_batched_ttl_fn(TEST_TINY, cfg)
+    adapt = make_batched_ttl_fn(TEST_TINY, cfg, zero_shot_aux=True)
     adapters0 = init_adapters(jax.random.PRNGKey(1), 2, V.hidden,
                               cfg.rank, "xavier")
 

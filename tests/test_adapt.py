@@ -42,12 +42,18 @@ def setup():
 
 def test_adaptation_moves_logits(setup):
     params, text_cls, adapters0, views, _ = setup
-    fn = make_ttl_adapt_fn(TEST_TINY, CFG)
+    fn = make_ttl_adapt_fn(TEST_TINY, CFG, zero_shot_aux=True)
     res = fn(params, text_cls, adapters0, views, jax.random.PRNGKey(3))
     assert res.logits.shape == (len(CLASSNAMES),)
     assert not np.allclose(np.asarray(res.logits),
                            np.asarray(res.zero_shot_logits))
     assert np.isfinite(np.asarray(res.losses)).all()
+    # hot-loop default: the aux pass is off and its slot is zeros
+    res0 = make_ttl_adapt_fn(TEST_TINY, CFG)(
+        params, text_cls, adapters0, views, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(res0.zero_shot_logits), 0.0)
+    np.testing.assert_allclose(np.asarray(res0.logits),
+                               np.asarray(res.logits), rtol=2e-5, atol=1e-5)
 
 
 def test_episodic_determinism(setup):
@@ -127,7 +133,7 @@ def test_text_encoder_lora_path(setup):
     cfg_t = CFG.replace(lora_encoder="text")
     a0 = init_adapters(jax.random.PRNGKey(1), 2, TEST_TINY.text.hidden,
                        CFG.rank, "xavier")
-    fn = make_ttl_adapt_fn(TEST_TINY, cfg_t)
+    fn = make_ttl_adapt_fn(TEST_TINY, cfg_t, zero_shot_aux=True)
     res = fn(params, text_cls, a0, views, jax.random.PRNGKey(3), tokens=toks)
     assert np.isfinite(np.asarray(res.logits)).all()
     assert not np.allclose(np.asarray(res.logits),
@@ -179,7 +185,7 @@ def test_all_views_filtered_skips_optimizer_step(setup):
     adapters stay at init, so adapted logits equal zero-shot logits."""
     params, text_cls, adapters0, views, _ = setup
     cfgp = CFG.replace(filter_plpd=1, plpd_threshold=2.0, patch_len=4)
-    fn = make_ttl_adapt_fn(TEST_TINY, cfgp)
+    fn = make_ttl_adapt_fn(TEST_TINY, cfgp, zero_shot_aux=True)
     res = fn(params, text_cls, adapters0, views, jax.random.PRNGKey(3))
     for a, b in zip(jax.tree.leaves(res.adapters),
                     jax.tree.leaves(adapters0)):

@@ -194,7 +194,7 @@ def test_composite_with_frozen_suffix_matches_torch(setup):
     cfg = TTLConfig(arch="test-tiny", resolution=64, batch_size=V,
                     layer_range=window, rank=RANK, tta_steps=1,
                     compute_dtype="float32", param_dtype="float32")
-    fn = make_batched_ttl_fn(TEST_TINY, cfg)
+    fn = make_batched_ttl_fn(TEST_TINY, cfg, zero_shot_aux=True)
     res = fn(params, jnp.asarray(text_cls, jnp.float32), adapters0,
              jnp.asarray(views)[None],
              jax.random.split(jax.random.PRNGKey(9), 1))
@@ -216,7 +216,7 @@ def test_composite_episodic_step_matches_torch(setup, tta_steps):
                     compute_dtype="float32", param_dtype="float32")
     assert effective_update_steps(cfg) == tta_steps ** 2  # ttl.py:78-81 quirk
 
-    fn = make_batched_ttl_fn(TEST_TINY, cfg)
+    fn = make_batched_ttl_fn(TEST_TINY, cfg, zero_shot_aux=True)
     res = fn(params, jnp.asarray(text_cls, jnp.float32), adapters0,
              jnp.asarray(views)[None], jax.random.split(jax.random.PRNGKey(9), 1))
     jax_zs = np.asarray(res.zero_shot_logits[0])

@@ -136,6 +136,18 @@ def test_cli_parses_reference_invocation():
     assert cfg.deyo_selection is True  # default-on (ttl.py:380)
 
 
+def test_cli_deyo_selection_false_string_coerced():
+    """Documented divergence (docs/MIGRATION.md): the reference's
+    --deyo_selection flag is untyped (ttl.py:408), so the shell string
+    "False" is truthy and silently keeps DeYO on upstream. This CLI coerces
+    false-ish strings to real False — the behavior the user means."""
+    for tok, want in [("False", False), ("false", False), ("0", False),
+                      ("True", True), ("true", True), ("1", True)]:
+        args = build_parser().parse_args(
+            ["datasets/", "--deyo_selection", tok])
+        assert config_from_args(args).deyo_selection is want, tok
+
+
 @pytest.mark.slow
 def test_aug_list_end_to_end():
     """A non-empty aug_list (the reference's shipped-but-disabled AugMix

@@ -57,10 +57,10 @@ def test_fused_matches_two_dispatch(setup):
                                    out_dtype=jnp.float32)
     views = view_fn(jnp.asarray(canv), jnp.asarray(hs), jnp.asarray(ws),
                     keys)
-    ref = make_batched_ttl_fn(TEST_TINY, CFG)(
+    ref = make_batched_ttl_fn(TEST_TINY, CFG, zero_shot_aux=True)(
         params, text_cls, adapters0, views, keys)
 
-    fused = make_fused_ttl_fn(TEST_TINY, CFG)(
+    fused = make_fused_ttl_fn(TEST_TINY, CFG, zero_shot_aux=True)(
         params, text_cls, adapters0, canv, hs, ws, idxs)
     np.testing.assert_allclose(np.asarray(fused.logits),
                                np.asarray(ref.logits), rtol=1e-5, atol=1e-5)

@@ -87,7 +87,8 @@ def _occlude(views: jax.Array, cfg: TTLConfig):
     return jnp.where(inside[None, None], mean, views)
 
 
-def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
+def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
+                      zero_shot_aux: bool = False):
     """Build the per-sample episodic adaptation function (DeYO / TPT-on-LoRA
     paths; dispatch mirrors test_time_tuning, ttl.py:70-110).
 
@@ -98,6 +99,13 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
       adapters0: initial LoRA pytree (the episodic reset state)
       views:     [V, 3, H, W] CLIP-normalized views, views[0] = clean view
       key:       PRNG key (only consumed by the PLPD counterfactual)
+
+    zero_shot_aux=True additionally computes pre-adaptation clean-view
+    logits (an extra single-view window forward); surfaces that report both
+    figures (predict --topk output, serve, the demo) opt in, while the eval
+    hot loop keeps `zero_shot_logits` as zeros - the runner never reads it
+    and the pass is pure waste there (the reference has no such aux output
+    at all; its zero-shot figure is a separate tta_steps=0 run).
     """
     from ..config import resolve_layer_range
     window = resolve_layer_range(cfg, clip_cfg)
@@ -202,9 +210,13 @@ def make_ttl_adapt_fn(clip_cfg: CLIPConfig, cfg: TTLConfig):
         def sub(t, sl):
             return None if t is None else t[sl]
 
-        zs_logits = jax.lax.stop_gradient(
-            enc(None, views[:1], sub(img_feats, slice(0, 1)),
-                sub(hidden, slice(0, 1))))[0]
+        if zero_shot_aux:
+            zs_logits = jax.lax.stop_gradient(
+                enc(None, views[:1], sub(img_feats, slice(0, 1)),
+                    sub(hidden, slice(0, 1))))[0]
+        else:
+            zs_logits = jnp.zeros((text_cls.shape[0],) if on_image
+                                  else (tokens.shape[0],), jnp.float32)
 
         def loss_fn(adapters, sel_mask, skey):
             logits = enc(adapters, views, img_feats, hidden)
@@ -269,7 +281,8 @@ def _truncate_tokens(tokens: Optional[jax.Array]) -> Optional[jax.Array]:
 
 
 def make_batched_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
-                        tokens: Optional[jax.Array] = None):
+                        tokens: Optional[jax.Array] = None,
+                        zero_shot_aux: bool = False):
     """vmap the episodic program over a batch of test samples and jit it.
 
     Every sample gets the SAME fresh (adapters0, opt_state) - exactly the
@@ -279,7 +292,7 @@ def make_batched_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
     Returns f(params, text_cls, adapters0, views[S,V,3,H,W], keys[S])
     -> AdaptResult with leading S axis.
     """
-    adapt_one = make_ttl_adapt_fn(clip_cfg, cfg)
+    adapt_one = make_ttl_adapt_fn(clip_cfg, cfg, zero_shot_aux=zero_shot_aux)
     if cfg.lora_encoder == "text":
         tokens = _truncate_tokens(tokens)
         fn = lambda p, tc, a0, v, k: adapt_one(p, tc, a0, v, k, tokens=tokens)
@@ -331,7 +344,8 @@ def sample_key(seed: int, idx: jax.Array) -> jax.Array:
 
 def make_fused_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
                       tokens: Optional[jax.Array] = None,
-                      mesh=None, n_classes: Optional[int] = None):
+                      mesh=None, n_classes: Optional[int] = None,
+                      zero_shot_aux: bool = False):
     """View generation + episodic adaptation as ONE jit'd program.
 
     The round-1 runner dispatched two programs per batch (device-side view
@@ -351,7 +365,7 @@ def make_fused_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, *,
     axis shards over the model axis.
     """
     view_fn = _make_view_fn_for(cfg)
-    adapt_one = make_ttl_adapt_fn(clip_cfg, cfg)
+    adapt_one = make_ttl_adapt_fn(clip_cfg, cfg, zero_shot_aux=zero_shot_aux)
     toks = (_truncate_tokens(tokens) if cfg.lora_encoder == "text"
             else None)
 

@@ -49,7 +49,7 @@ def predict_directory(cfg, classnames, *, dataset=None, topk: int = 5,
     """Stream `cfg.data` (or `dataset`) through the fused TTL step and write
     one JSON line per image to `out`. Returns the number of images."""
     from .adapt.ttl import make_fused_ttl_fn, make_fused_zeroshot_fn
-    from .data.views import SampleLoader
+    from .data.views import DEFAULT_CANVAS, SampleLoader
     from .models.prompts import build_text_classifier, prompt_tokens
     from .runner import load_model, make_adapters0
 
@@ -72,7 +72,10 @@ def predict_directory(cfg, classnames, *, dataset=None, topk: int = 5,
                                      compute_dtype=cd)
     if cfg.tta_steps > 0:
         adapters0 = make_adapters0(cfg, clip_cfg)
-        step_fn = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks)
+        # predict output reports the pre-adaptation label too, so this
+        # surface opts into the zero-shot aux pass
+        step_fn = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks,
+                                    zero_shot_aux=True)
 
         def run_step(batch):
             res = step_fn(params, text_cls, adapters0, batch.canvases,
@@ -91,7 +94,7 @@ def predict_directory(cfg, classnames, *, dataset=None, topk: int = 5,
     # --canvas: same auto-fit rule as the eval loop (runner.py) - explicit
     # size wins, datasets that declare max_image_dim shrink the upload
     canvas = cfg.canvas if cfg.canvas > 0 else \
-        (getattr(ds, "max_image_dim", None) or 512)
+        (getattr(ds, "max_image_dim", None) or DEFAULT_CANVAS)
     loader = SampleLoader(ds, batch_size=cfg.sample_batch, shuffle=False,
                           workers=cfg.workers, canvas=canvas)
 

@@ -90,10 +90,13 @@ class TTLPredictor:
             from .parallel.mesh import replicate
             self.text_cls = replicate(self.text_cls, self.mesh)
             self.adapters0 = replicate(self.adapters0, self.mesh)
-        # one fused program per batch: view expansion + episodic adaptation
+        # one fused program per batch: view expansion + episodic adaptation;
+        # responses include the pre-adaptation label, so opt into the
+        # zero-shot aux pass (the eval runner leaves it off)
         self.step_fn = make_fused_ttl_fn(clip_cfg, cfg, tokens=toks,
                                          mesh=self.mesh,
-                                         n_classes=len(self.classnames))
+                                         n_classes=len(self.classnames),
+                                         zero_shot_aux=True)
         # --canvas: smaller canvases cut the per-step host->device upload
         # (the wall bottleneck for small fast programs, PERF_NOTES);
         # requests larger than the canvas are downscaled to fit, as in the
@@ -231,8 +234,9 @@ class MicroBatcher:
         self.failed = 0  # accepted but resolved with an exception
         self.batches = 0
         # submit->result latency of the last 512 served requests, for the
-        # /metrics percentiles (deque append is atomic; sorted snapshot at
-        # read time)
+        # /metrics percentiles; appends (batcher thread) and the sorted
+        # snapshot (HTTP threads) both run under _m_lock - iterating a
+        # deque while another thread appends raises RuntimeError
         self._lat_ms: deque = deque(maxlen=512)
         t = threading.Thread(target=self._loop, daemon=True)
         t.start()
@@ -253,7 +257,8 @@ class MicroBatcher:
 
     def metrics(self) -> dict:
         """Live serving counters (served by GET /metrics)."""
-        lat = sorted(self._lat_ms)
+        with self._m_lock:
+            lat = sorted(self._lat_ms)
         pct = {}
         if lat:
             pct = {f"latency_p{p}_ms":
@@ -278,13 +283,15 @@ class MicroBatcher:
         try:
             t0 = time.time()
             results = self.predictor.collect(handle)
-            self._step_s = 0.7 * self._step_s + 0.3 * (time.time() - t0)
-            self.batches += 1
+            with self._m_lock:
+                self._step_s = 0.7 * self._step_s + 0.3 * (time.time() - t0)
+                self.batches += 1
             done = time.time()
             for (fut, ts), res in zip(futs, results):
                 fut.set_result(res)
-                self.served += 1
-                self._lat_ms.append((done - ts) * 1e3)
+                with self._m_lock:
+                    self.served += 1
+                    self._lat_ms.append((done - ts) * 1e3)
         except Exception as e:  # pragma: no cover - device failure
             for fut, _ in futs:
                 fut.set_exception(e)
