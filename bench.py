@@ -26,18 +26,38 @@ Protocol: the tunneled relay chip shows heavy run-to-run wall-clock variance
 steps each. The primary metric uses the ImageNet-A-sized 200-class table
 (comparable to BENCH_r01); `value_1000_classes` reports the same step at the
 ImageNet/V2/Sketch-sized 1000-class table so those configs' throughput
-claims are honest (VERDICT r1 weak #5).
+claims are honest (VERDICT r1 weak #5). Every optional stage gets the same
+contention discipline as the primary: a short xprof trace yields its
+busy-equivalent rate and a per-stage contention flag, so wall-only
+artifacts can no longer contradict trace-verified PERF_NOTES numbers
+(VERDICT r3 weak #2: the r02 int8 stage was wall-only and caught a
+co-tenant episode).
 
-Prints exactly one JSON line.
+Prints exactly one JSON line - under EVERY relay condition.
 
-Relay-dark protection: the tunneled relay occasionally goes unresponsive
-for 15-30 min (PERF_NOTES.md measurement protocol) - a hung device fetch
-would otherwise lose the whole benchmark run. A watchdog emits whatever has
-been measured once `TTL_BENCH_BUDGET_S` (default 780 s) elapses, and the
-optional stages (1000-class, multi-chip aggregate, int8 variant, busy-time
-trace) are skipped up front when the remaining budget can't fit them
-(`skipped_stages` lists what was dropped). A normal run (~5-6 min) is
-unaffected.
+Relay-dark protection (VERDICT r3 next #1 - BENCH_r03 shipped rc=3 with no
+parsed result after a full relay outage):
+  1. pre-flight: a bounded wait-for-relay loop probes via
+     tools/relay_probe.py (subprocess, self-bounding) until the relay
+     answers or half the budget is gone; attempts are reported.
+  2. provisional headline: the first 2 post-compile pipelined steps emit a
+     coarse samples/s into the result dict BEFORE the window campaign, so
+     a mid-run outage still leaves the watchdog a real figure
+     ("provisional": true marks it).
+  3. structured fallback: if the relay never produced any measurement, the
+     watchdog emits {"error": "relay_dark", "probe_attempts": N,
+     "last_known_good": {...}} (exit 0) instead of bare rc=3, with the
+     newest committed BENCH_r*.json figure attached for context.
+A normal run (~5-6 min) is unaffected. The optional stages (1000-class,
+multi-chip aggregate, int8 variant, per-stage busy traces) stay
+budget-gated by TTL_BENCH_BUDGET_S (default 780 s; `skipped_stages` lists
+what was dropped).
+
+Test hooks (CPU drive, pinned by tests/test_bench.py):
+  TTL_BENCH_PLATFORM=cpu TTL_BENCH_ARCH=test-tiny  - whole surface on CPU
+  TTL_BENCH_PROBE_CMD="..."                        - replace the probe
+  TTL_BENCH_HANG_S=N                               - simulate a dark-relay
+                                                     connect hang
 """
 import json
 import os
@@ -65,16 +85,68 @@ def emit_once(out: dict) -> None:
         print(line, flush=True)
 
 
-def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
-            windows=5, iters=10, mesh=None):
-    """Best-window wall samples/s of the fused TTL step.
+def load_last_known_good():
+    """Newest committed BENCH_r*.json with a real figure, for the
+    relay-dark fallback (context only - never reported as a fresh value)."""
+    root = pathlib.Path(__file__).resolve().parent
+    for p in sorted(root.glob("BENCH_r*.json"), reverse=True):
+        try:
+            d = json.loads(p.read_text())
+        except Exception:
+            continue
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("value") is not None:
+            return {"artifact": p.name, **parsed}
+    return None
 
-    With `mesh` the program shards the sample axis over the data axis and
-    the returned rate is the AGGREGATE over all mesh devices (canv must
-    carry mesh-divisible leading S); without it, the single-device rate.
-    """
-    import jax
 
+def preflight_probe(remaining, budget: float):
+    """Bounded wait-for-relay loop: probe (subprocess, self-bounding)
+    until the relay answers or half the budget is spent. Returns
+    (ok, attempts). A passed probe does not guarantee the next fresh
+    connect succeeds (PERF_NOTES outage anatomy) - the watchdog remains
+    the backstop either way - but waiting out a dark window here is what
+    turns "one outage = one lost round" into a late-but-real figure."""
+    import subprocess
+
+    attempts = 0
+    interval = max(0.2, min(30.0, budget / 20.0))
+    while True:
+        t = max(5.0, min(60.0, remaining() - budget / 2.0))
+        cmd_env = os.environ.get("TTL_BENCH_PROBE_CMD")
+        if cmd_env is not None:
+            cmd = cmd_env.split()
+        else:
+            probe = (pathlib.Path(__file__).resolve().parent / "tools"
+                     / "relay_probe.py")
+            cmd = [sys.executable, str(probe), "--timeout", str(t)]
+            if os.environ.get("TTL_BENCH_PLATFORM") == "cpu":
+                cmd.append("--cpu")
+        attempts += 1
+        try:
+            ok = subprocess.run(cmd, capture_output=True,
+                                timeout=t + 30).returncode == 0
+        except Exception:
+            ok = False
+        if ok:
+            return True, attempts
+        if remaining() - budget / 2.0 <= 0:
+            return False, attempts
+        print(f"bench: relay probe attempt {attempts} failed; retrying "
+              f"(budget left {remaining():.0f}s)", file=sys.stderr,
+              flush=True)
+        time.sleep(min(interval, max(0.0, remaining() - budget / 2.0)))
+
+
+def make_step(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
+              mesh=None):
+    """Build the benched unit of work: one fused TTL step + count fetch.
+
+    Returns (step, S): step(i) enqueues the fused program on inputs keyed
+    by i and returns the device count array (fetch to host to fence - on
+    the remote-relay backend block_until_ready alone does not reliably
+    fence, PERF_NOTES.md). With `mesh` the sample axis shards over the
+    data axis and S covers all mesh devices."""
     from ttl_tpu.adapt.ttl import make_fused_ttl_fn
     from ttl_tpu.parallel.eval import make_count_fn
 
@@ -99,14 +171,38 @@ def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
         res = fused(params, text_cls, adapters0, canv, hs, ws, idxs)
         return count_fn(res.logits, labels, valid)
 
-    # NOTE: counts are fetched to host to fence execution - on the
-    # remote-relay TPU backend block_until_ready alone does not reliably
-    # fence. Each window enqueues all steps (async) then drains; windows
-    # are spaced out to dodge sustained relay contention from co-tenants
-    # (observed: wall 2-3x device-busy for minutes at a time), and the
-    # best window is reported (contention only ever adds time).
-    for i in range(2):
-        np.asarray(step(i))
+    return step, S
+
+
+def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
+            windows=5, iters=10, mesh=None, step=None, provisional_cb=None):
+    """Best-window wall samples/s of the fused TTL step.
+
+    With `mesh` the program shards the sample axis over the data axis and
+    the returned rate is the AGGREGATE over all mesh devices (canv must
+    carry mesh-divisible leading S); without it, the single-device rate.
+    `step` reuses a prebuilt make_step program (avoids a re-jit when the
+    caller also busy-probes the same program). `provisional_cb`, if given,
+    receives a coarse samples/s from the first 2 post-compile pipelined
+    steps, BEFORE the window campaign - the early headline the watchdog
+    can emit if the relay degrades mid-run.
+    """
+    S = canv.shape[0]
+    if step is None:
+        step, S = make_step(clip_cfg, cfg, params, text_cls, adapters0,
+                            canv, hs, ws, mesh=mesh)
+
+    # Windows enqueue all steps (async) then drain; they are spaced out to
+    # dodge sustained relay contention from co-tenants (observed: wall
+    # 2-3x device-busy for minutes at a time), and the best window is
+    # reported (contention only ever adds time).
+    np.asarray(step(0))  # compile + first execution
+    t0 = time.time()
+    pend = [step(1), step(2)]
+    for p in pend:
+        np.asarray(p)
+    if provisional_cb is not None:
+        provisional_cb(2 * S / max(time.time() - t0, 1e-9))
     best = float("inf")
     for w in range(windows):
         t0 = time.time()
@@ -119,14 +215,46 @@ def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
     return S / best
 
 
+def busy_ms_for(step, *, steps=4):
+    """Device-busy ms/step of `step` from a short xprof trace, or None.
+
+    Per-op self-times are stable to ~us even under heavy relay contention
+    (PERF_NOTES.md), so this is the contention-free co-primary for every
+    stage. Failures warn rather than silently dropping telemetry."""
+    import shutil
+    import tempfile
+
+    from ttl_tpu.utils.profiling import op_stats, trace
+
+    try:
+        np.asarray(step(7))  # ensure compiled/warm outside the trace
+        td = tempfile.mkdtemp(prefix="ttl_bench_trace_")
+        try:
+            with trace(td):
+                pend = [step(10 + i) for i in range(steps)]
+                for p in pend:
+                    np.asarray(p)
+            rows = op_stats(td, top=500)
+            if rows:
+                return sum(r["self_time_us"] for r in rows
+                           if r["operation"] != "IDLE") / steps / 1000.0
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+    except Exception as e:
+        print(f"WARNING: busy-time telemetry failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+    return None
+
+
 def main():
     import jax
 
     # drive knobs: TTL_BENCH_PLATFORM=cpu + TTL_BENCH_ARCH=test-tiny run the
-    # whole bench surface (stages, budget gating, watchdog, JSON contract)
-    # without TPU hardware - used by tests; harmless no-ops on the driver
-    # (env vars alone are too late to switch platform here: sitecustomize
-    # imports jax at boot, but the config is still rewritable pre-backend)
+    # whole bench surface (probe, stages, budget gating, watchdog, JSON
+    # contract) without TPU hardware - used by tests; harmless no-ops on the
+    # driver (env vars alone are too late to switch platform here:
+    # sitecustomize imports jax at boot, but the config is still rewritable
+    # pre-backend)
     if os.environ.get("TTL_BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["TTL_BENCH_PLATFORM"])
     import jax.numpy as jnp
@@ -151,7 +279,7 @@ def main():
         while not _PRINTED.is_set():
             if remaining() < -grace:
                 break
-            time.sleep(5)
+            time.sleep(1)
         if _PRINTED.is_set():
             return
         if "value" in out:
@@ -163,15 +291,43 @@ def main():
                 except Exception:
                     time.sleep(0.2)
             os._exit(0)
-        print("ERROR: bench watchdog fired before the primary measurement "
-              "completed - relay unresponsive/dark (see PERF_NOTES.md "
-              "measurement protocol); no result to emit", file=sys.stderr,
-              flush=True)
-        os._exit(3)
+        # No measurement at all: the relay was dark end to end. Emit a
+        # structured artifact (never a bare rc=3 - BENCH_r03 lost its round
+        # to exactly that) with the newest committed figure for context.
+        err = {
+            "error": "relay_dark",
+            "note": "relay unresponsive before any measurement completed "
+                    "(PERF_NOTES.md measurement protocol); "
+                    "last_known_good is the newest committed artifact, "
+                    "NOT a fresh measurement",
+            "budget_s": budget,
+            "probe_attempts": out.get("probe_attempts", 0),
+            "probe_ok": out.get("probe_ok"),
+            "last_known_good": load_last_known_good(),
+        }
+        for _ in range(5):
+            try:
+                emit_once(err)
+                break
+            except Exception:
+                time.sleep(0.2)
+        os._exit(0)
 
     threading.Thread(target=watchdog, daemon=True).start()
 
-    from ttl_tpu.config import TTLConfig
+    # pre-flight: wait out a dark relay (bounded: half the budget)
+    probe_ok, attempts = preflight_probe(remaining, budget)
+    out["probe_ok"] = probe_ok
+    out["probe_attempts"] = attempts
+    if not probe_ok:
+        print(f"bench: relay probe never passed ({attempts} attempts); "
+              "attempting the measurement anyway - the watchdog emits a "
+              "structured fallback if it hangs", file=sys.stderr, flush=True)
+
+    if os.environ.get("TTL_BENCH_HANG_S"):  # test hook: simulated outage
+        time.sleep(float(os.environ["TTL_BENCH_HANG_S"]))
+
+    from ttl_tpu.config import TTLConfig, resolve_layer_range
     from ttl_tpu.models.clip import init_clip_params
     from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens
     from ttl_tpu.models.zoo import get_arch
@@ -188,7 +344,6 @@ def main():
     names = json.loads(
         (pathlib.Path(__file__).parent / "ttl_tpu" / "data" / "assets" /
          "imagenet_classnames.json").read_text())
-    from ttl_tpu.config import resolve_layer_range
     lo, hi = resolve_layer_range(cfg, clip_cfg)
     n_window = hi - lo + 1
     adapters0 = init_adapters(jax.random.PRNGKey(1), n_window,
@@ -211,33 +366,79 @@ def main():
                 params["text"], toks, clip_cfg.text)
         return classifiers[n_classes]
 
-    # primary metric first (200-class table, single device), so the
-    # watchdog has a headline figure to emit if the relay degrades
-    # mid-run; every later stage is optional and budget-gated.
+    # primary metric first (200-class table, single device): a provisional
+    # figure lands in `out` after the first 2 post-compile steps, then the
+    # window campaign overwrites it; every later stage is optional and
+    # budget-gated.
     n_dev = jax.device_count()
     target = 200.0 * n_dev / 8.0
     skipped = []
-    sps = measure(clip_cfg, cfg, params, classifier(200),
-                  adapters0, canv, hs, ws)
-    # the primary figure is a SINGLE-device rate, so its provisional
-    # vs_baseline compares against the per-chip pace (200/8 = 25/s); the
-    # aggregate stage overwrites both with the measured all-device figure
-    # vs the full prorated target when it runs
-    out.update({
-        "metric": f"adapted samples/sec/chip (64-view TTL step, {arch}); "
-                  "co-primary: busy_equivalent_sps (relay-contention-free)",
-        "value": round(sps, 2),
-        "unit": "samples/s/chip",
-        "vs_baseline": round(sps / 25.0, 4),
-        "baseline_note": "target=200/s v5e-8 aggregate = 25/s per chip; "
-                         f"{n_dev} device(s) attached; see BASELINE.md "
-                         "ceiling accounting",
-    })
+
+    def headline(sps, provisional):
+        d = {
+            "metric": f"adapted samples/sec/chip (64-view TTL step, {arch})"
+                      "; co-primary: busy_equivalent_sps "
+                      "(relay-contention-free)",
+            "value": round(sps, 2),
+            "unit": "samples/s/chip",
+            # the primary figure is a SINGLE-device rate, so its
+            # vs_baseline compares against the per-chip pace (200/8=25/s);
+            # the aggregate stage overwrites both with the measured
+            # all-device figure vs the full prorated target when it runs
+            "vs_baseline": round(sps / 25.0, 4),
+            "baseline_note": "target=200/s v5e-8 aggregate = 25/s per chip;"
+                             f" {n_dev} device(s) attached; see BASELINE.md"
+                             " ceiling accounting",
+        }
+        if provisional:
+            d["provisional"] = True
+        out.update(d)
+        if not provisional:
+            out.pop("provisional", None)
+
+    step_p, _ = make_step(clip_cfg, cfg, params, classifier(200),
+                          adapters0, canv, hs, ws)
+    sps = measure(clip_cfg, cfg, params, classifier(200), adapters0,
+                  canv, hs, ws, step=step_p,
+                  provisional_cb=lambda v: headline(v, True))
+    headline(sps, False)
+
+    # primary busy-equivalent co-primary, directly after the headline so a
+    # mid-run outage still leaves contention-free evidence in the artifact
+    busy_ms = None
+    if remaining() > 60:
+        busy_ms = busy_ms_for(step_p)
+    else:
+        skipped.append("busy_trace")
+    if busy_ms:
+        out["device_busy_ms_per_step"] = round(busy_ms, 1)
+        out["busy_equivalent_sps"] = round(S / (busy_ms / 1000.0), 2)
+        out["contention_suspected"] = bool(
+            sps < 0.7 * S / (busy_ms / 1000.0))
+
+    def staged(name, value_key, cfg_s, params_s, text_cls_s, canv_s, hs_s,
+               ws_s, *, windows, mesh=None):
+        """Run an optional stage with the primary's full contention
+        discipline: best-window wall + short busy trace + per-stage flag."""
+        step_s, S_s = make_step(clip_cfg, cfg_s, params_s, text_cls_s,
+                                adapters0, canv_s, hs_s, ws_s, mesh=mesh)
+        wall = measure(clip_cfg, cfg_s, params_s, text_cls_s, adapters0,
+                       canv_s, hs_s, ws_s, windows=windows, mesh=mesh,
+                       step=step_s)
+        out[value_key] = round(wall, 2)
+        if remaining() > 45:
+            b = busy_ms_for(step_s)
+            if b:
+                out[f"busy_{name}_sps"] = round(S_s / (b / 1000.0), 2)
+                out[f"contention_{name}"] = bool(
+                    wall < 0.7 * S_s / (b / 1000.0))
+        else:
+            skipped.append(f"{name}_busy_trace")
+        return wall
 
     if remaining() > 150:
-        out["value_1000_classes"] = round(
-            measure(clip_cfg, cfg, params, classifier(1000),
-                    adapters0, canv, hs, ws), 2)
+        staged("1000_classes", "value_1000_classes", cfg, params,
+               classifier(1000), canv, hs, ws, windows=5)
     else:
         skipped.append("1000_classes")
 
@@ -256,10 +457,10 @@ def main():
         canv_t = np.tile(canv, (n_dev, 1, 1, 1))
         hs_t = np.full((St,), 375, np.int32)
         ws_t = np.full((St,), 500, np.int32)
-        aggregate = measure(clip_cfg, cfg.replace(sample_batch=St), params,
-                            classifier(200), adapters0, canv_t, hs_t, ws_t,
-                            windows=3, mesh=mesh)
-        out["aggregate_sps"] = round(aggregate, 2)
+        aggregate = staged("aggregate", "aggregate_sps",
+                           cfg.replace(sample_batch=St), params,
+                           classifier(200), canv_t, hs_t, ws_t,
+                           windows=3, mesh=mesh)
         out["per_chip_sps"] = round(aggregate / n_dev, 2)
         out["device_count"] = n_dev
         out["vs_baseline"] = round(aggregate / target, 4)
@@ -268,71 +469,19 @@ def main():
 
     # opt-in int8 frozen-prefix variant (--prefix_quant int8): reported as
     # an auxiliary figure; the primary metric stays the full-precision
-    # (accuracy-parity) configuration
+    # (accuracy-parity) configuration. Runs under the same wall+busy
+    # discipline - the r02 artifact's wall-only int8 row contradicted the
+    # trace-verified PERF_NOTES win (VERDICT r3 weak #2).
     if remaining() > 150:
         from ttl_tpu.ops.quant import attach_prefix_quant, quant_prefix_len
         qcfg = cfg.replace(prefix_quant="int8")
         qparams = attach_prefix_quant(params,
                                       quant_prefix_len(qcfg, clip_cfg))
-        out["value_int8_prefix"] = round(
-            measure(clip_cfg, qcfg, qparams, classifier(200),
-                    adapters0, canv, hs, ws, windows=3), 2)
+        staged("int8_prefix", "value_int8_prefix", qcfg, qparams,
+               classifier(200), canv, hs, ws, windows=3)
     else:
         skipped.append("int8_prefix")
 
-    # contention telemetry: the relay chip is multi-tenant and wall-clock
-    # collapses 2-3x for minutes at a time (PERF_NOTES.md). Device-busy
-    # time from a short trace disambiguates "this build is slow" from "a
-    # co-tenant had the chip": busy ~= 260 ms/step on a quiet chip.
-    busy_ms = None
-    skip_trace = remaining() < 60  # evaluated ONCE: skip-list and the
-    if skip_trace:                 # raise below must agree
-        skipped.append("busy_trace")
-    try:
-        if skip_trace:
-            raise TimeoutError(f"budget exhausted ({budget:.0f}s)")
-        import shutil
-        import tempfile
-
-        from ttl_tpu.adapt.ttl import make_fused_ttl_fn
-        from ttl_tpu.parallel.eval import make_count_fn
-        from ttl_tpu.utils.profiling import op_stats, trace
-
-        fused = make_fused_ttl_fn(clip_cfg, cfg)
-        count_fn = make_count_fn()
-        text_cls = classifier(200)
-        labels = np.zeros((S,), np.int32)
-        valid = np.ones((S,), bool)
-
-        def tstep(i):
-            idxs = np.arange(S, dtype=np.int32) + i * S
-            res = fused(params, text_cls, adapters0, canv, hs, ws, idxs)
-            return count_fn(res.logits, labels, valid)
-
-        np.asarray(tstep(0))
-        td = tempfile.mkdtemp(prefix="ttl_bench_trace_")
-        try:
-            with trace(td):
-                pend = [tstep(10 + i) for i in range(4)]
-                for p in pend:
-                    np.asarray(p)
-            rows = op_stats(td, top=500)
-            if rows:
-                busy_ms = sum(r["self_time_us"] for r in rows
-                              if r["operation"] != "IDLE") / 4 / 1000.0
-        finally:
-            shutil.rmtree(td, ignore_errors=True)
-    except Exception as e:
-        # a silently-dropped trace would be indistinguishable from "chip
-        # not busy"; make missing telemetry visibly a failure (ADVICE r2)
-        print(f"WARNING: busy-time telemetry failed: "
-              f"{type(e).__name__}: {e}", file=sys.stderr)
-
-    if busy_ms:
-        out["device_busy_ms_per_step"] = round(busy_ms, 1)
-        out["busy_equivalent_sps"] = round(S / (busy_ms / 1000.0), 2)
-        out["contention_suspected"] = bool(
-            sps < 0.7 * S / (busy_ms / 1000.0))
     if skipped:
         out["skipped_stages"] = skipped
     emit_once(out)
