@@ -139,19 +139,20 @@ def preflight_probe(remaining, budget: float):
 
 
 def make_step(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
-              mesh=None):
+              mesh=None, tokens=None):
     """Build the benched unit of work: one fused TTL step + count fetch.
 
     Returns (step, S): step(i) enqueues the fused program on inputs keyed
     by i and returns the device count array (fetch to host to fence - on
     the remote-relay backend block_until_ready alone does not reliably
     fence, PERF_NOTES.md). With `mesh` the sample axis shards over the
-    data axis and S covers all mesh devices."""
+    data axis and S covers all mesh devices. `tokens` is required by the
+    text-LoRA mode (the adapted tower re-encodes the truncated table)."""
     from ttl_tpu.adapt.ttl import make_fused_ttl_fn
     from ttl_tpu.parallel.eval import make_count_fn
 
     S = canv.shape[0]
-    fused = make_fused_ttl_fn(clip_cfg, cfg, mesh=mesh)
+    fused = make_fused_ttl_fn(clip_cfg, cfg, mesh=mesh, tokens=tokens)
     count_fn = make_count_fn(mesh)
     labels = np.zeros((S,), np.int32)
     valid = np.ones((S,), bool)

@@ -137,6 +137,39 @@ def test_bench_dark_relay_structured_fallback():
 
 
 @pytest.mark.slow
+def test_bench_arches_contract():
+    """tools/bench_arches.py: one command -> BENCH_ARCHES.json + one JSON
+    line, rows measured under the bench.py discipline (VERDICT r3 next #4:
+    the arch table must be reproducible, not manual-session lore)."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    import tempfile
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    out_path = pathlib.Path(tempfile.mkdtemp()) / "arches.json"
+    env = dict(os.environ, TTL_BENCH_PLATFORM="cpu",
+               TTL_BENCH_BUDGET_S="240", TTL_BENCH_WATCHDOG_GRACE_S="600")
+    r = subprocess.run(
+        [sys.executable, str(root / "tools" / "bench_arches.py"),
+         "--rows", "test-tiny", "--classes", "5", "--s", "4",
+         "--windows", "1", "--iters", "2", "--out", str(out_path)],
+        capture_output=True, text=True, timeout=420, env=env, cwd=root)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1, r.stdout
+    out = json.loads(lines[0])
+    assert out == json.loads(out_path.read_text())
+    assert out["missing_rows"] == [] and out["probe_ok"] is True
+    (row,) = out["rows"]
+    assert row["arch"] == "test-tiny" and row["wall_sps"] > 0
+    assert row["layer_range"] == [1, 3]  # arch-relative last-3 window
+
+
+@pytest.mark.slow
 def test_measure_mesh_aggregate():
     """The multi-device bench path: same program sharded over the full
     data mesh, rate measured over the whole (n_dev * per-chip) batch."""
