@@ -130,6 +130,54 @@ def synthetic_npz(tmp_path_factory):
     return str(tmp / "tiny_clip.npz")
 
 
+def test_parity_all_runbook(imagenet_a_tree, synthetic_npz, tmp_path):
+    """The one-command runbook (scripts/parity_all.sh -> tools/parity_all.py,
+    VERDICT r3 next #6): rows run end-to-end on the synthetic checkpoint,
+    per-row assertions are load-bearing (a wrong expectation fails the run),
+    and rows missing their trained checkpoints are skipped with a reason."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=REPO)
+    tiny = ["--extra", "--resolution", "64", "-b", "8",
+            "--layer_range", "2,3", "--rank", "4",
+            "--compute_dtype", "float32", "--param_dtype", "float32",
+            "--sample_batch", "4"]
+
+    # pass case: no expectations pinned for the synthetic weights -> the
+    # rows must run green and the coop row must skip with a reason
+    exp = tmp_path / "exp.json"
+    exp.write_text("{}")
+    out_json = tmp_path / "res.json"
+    r = subprocess.run(
+        [sys.executable, "tools/parity_all.py", imagenet_a_tree,
+         "--rows", "zero-shot,ttl,coop", "--test_sets", "A",
+         "--arch", "test-tiny", "--npz", synthetic_npz,
+         "--expected_json", str(exp), "--out", str(out_json)] + tiny,
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    import json
+    res = json.loads(out_json.read_text())
+    assert res["pass"] is True
+    assert res["rows"]["zero-shot"]["sets"]["A"]["top1"] >= 0
+    assert res["rows"]["ttl"]["sets"]["A"]["top1"] >= 0
+    assert "needs --coop_ckpt" in res["rows"]["coop"]["skipped"]
+
+    # fail case: a deliberately wrong expectation at the 0.3 tolerance must
+    # exit 1 and mark the set not-ok (the +-0.3% assertions are real)
+    exp.write_text(json.dumps({"zero-shot": {"A": 150.0}}))
+    r2 = subprocess.run(
+        [sys.executable, "tools/parity_all.py", imagenet_a_tree,
+         "--rows", "zero-shot", "--test_sets", "A",
+         "--arch", "test-tiny", "--npz", synthetic_npz,
+         "--expected_json", str(exp), "--out", str(out_json)] + tiny,
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert r2.returncode == 1, (r2.stdout[-2000:], r2.stderr[-2000:])
+    res2 = json.loads(out_json.read_text())
+    assert res2["pass"] is False
+    assert res2["rows"]["zero-shot"]["sets"]["A"]["ok"] is False
+    assert res2["rows"]["zero-shot"]["sets"]["A"]["expected"] == 150.0
+
+
 @pytest.mark.parametrize("mode_flags", [
     ["--ensemble", "--tta_steps", "0"],          # Ensemble row (README:95)
     ["--lora_encoder", "prompt"],                # TPT row (README:98)

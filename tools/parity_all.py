@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""One-command accuracy-parity runbook vs the reference's published table.
+
+Collapses download -> convert -> cache -> run every published-row config
+(BASELINE.md section "reference published numbers"; the reference's own
+table at /root/reference/README.md:92-101) into a single driver with
+per-row Top-1 assertions at +-0.3%:
+
+    python tools/parity_all.py DATA_ROOT                 # downloads ViT-B/16
+    python tools/parity_all.py DATA_ROOT --ckpt ViT-B-16.pt
+    python tools/parity_all.py DATA_ROOT --rows ttl,zero-shot --test_sets A
+
+Rows (method column of the table; CALIP/PromptAlign are third-party
+methods the reference repo does not implement, hence not runnable here):
+
+  zero-shot   plain CLIP, single hand-crafted prompt    (README.md:94)
+  ensemble    80-prompt ensemble classifier             (README.md:95)
+  coop        CoOp trained ctx via --load, no TTA       (README.md:96)
+  cocoop      CoCoOp trained ctx+meta-net via --load    (README.md:97)
+  tpt         TPT prompt-ctx test-time tuning           (README.md:98)
+  ttl         TTL LoRA test-time adaptation (the paper) (README.md:101)
+
+coop/cocoop need their trained prompt checkpoints (--coop_ckpt /
+--cocoop_ckpt, the CoOp release files); without them those rows are
+SKIPPED with a reason, not silently dropped. The TTL row pins
+--layer_range 9,11 explicitly (docs/MIGRATION.md: reference-default
+reproduction, robust against the arch-relative default).
+
+Exit code: 0 when every attempted row is within tolerance on every test
+set, 1 otherwise. Results are also written to PARITY_RESULTS.json.
+
+The whole driver is smoke-tested end-to-end on synthetic weights in the
+slow test tier (tests/test_parity_harness.py) - the moment real weights
+and the ImageNet-variant trees exist, this command IS the parity run.
+"""
+import argparse
+import json
+import os
+import pathlib
+import re
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+# Published Top-1 per method x test set (BASELINE.md; README.md:92-101).
+EXPECTED = {
+    "zero-shot": {"I": 67.30, "A": 47.14, "V": 59.90, "R": 71.20, "K": 43.00},
+    "ensemble":  {"I": 68.50, "A": 48.44, "V": 62.70, "R": 73.50, "K": 45.50},
+    "coop":      {"I": 72.30, "A": 49.25, "V": 65.70, "R": 71.50, "K": 47.60},
+    "cocoop":    {"I": 71.40, "A": 50.05, "V": 63.80, "R": 73.10, "K": 46.70},
+    "tpt":       {"I": 68.90, "A": 54.59, "V": 63.13, "R": 77.05, "K": 47.99},
+    "ttl":       {"I": 70.23, "A": 60.51, "V": 64.55, "R": 77.54, "K": 48.61},
+}
+
+# Flags reproducing each row (reference invocations; scripts/test_ttl.sh +
+# ttl.py defaults). {load} is substituted for the coop/cocoop checkpoints.
+ROW_FLAGS = {
+    "zero-shot": ["--tta_steps", "0"],
+    "ensemble": ["--ensemble", "--tta_steps", "0"],
+    "coop": ["--lora_encoder", "prompt", "--tta_steps", "0",
+             "--n_ctx", "4", "--load", "{coop_ckpt}"],
+    "cocoop": ["--cocoop", "--tta_steps", "0", "--load", "{cocoop_ckpt}"],
+    "tpt": ["--lora_encoder", "prompt", "--tta_steps", "1", "--lr", "5e-3",
+            "--n_ctx", "4", "--ctx_init", "a_photo_of_a"],
+    "ttl": ["-b", "64", "--lr", "5e-3", "--tta_steps", "1",
+            "--layer_range", "9,11", "--init_method", "xavier",
+            "--lora_encoder", "image", "--rank", "16"],
+}
+
+
+def ensure_checkpoint(args) -> str:
+    """Return a converted .npz cache path, downloading/converting as
+    needed (download requires egress; --ckpt/--npz skip stages)."""
+    if args.npz:
+        return args.npz
+    ckpt = args.ckpt
+    if ckpt is None:
+        r = subprocess.run(
+            [sys.executable, str(ROOT / "tools" / "download_weights.py"),
+             args.arch, "--no-convert"],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.exit(f"checkpoint download failed (no egress?) - pass "
+                     f"--ckpt or --npz\n{r.stderr[-1000:]}")
+        ckpt = r.stdout.strip().splitlines()[-1]
+    npz = str(pathlib.Path(ckpt).with_suffix(".npz"))
+    if not os.path.exists(npz):
+        conv = [sys.executable, str(ROOT / "tools" / "convert_checkpoint.py"),
+                ckpt, "--out", npz]
+        if args.arch != "ViT-B/16":
+            conv += ["--arch", args.arch]
+        r = subprocess.run(conv, capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.exit(f"convert failed:\n{r.stderr[-2000:]}")
+    return npz
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("data_root")
+    ap.add_argument("--rows", default="zero-shot,ensemble,coop,cocoop,"
+                    "tpt,ttl")
+    ap.add_argument("--test_sets", default="A/V/R/K",
+                    help="slash-list as in the reference CLI (add I for "
+                         "the full ImageNet val row)")
+    ap.add_argument("--arch", default="ViT-B/16")
+    ap.add_argument("--ckpt", help="local OpenAI/HF checkpoint "
+                                   "(skips download)")
+    ap.add_argument("--npz", help="already-converted pytree cache "
+                                  "(skips download+convert)")
+    ap.add_argument("--coop_ckpt", help="trained CoOp prompt ckpt for the "
+                                        "coop row")
+    ap.add_argument("--cocoop_ckpt", help="trained CoCoOp ckpt for the "
+                                          "cocoop row")
+    ap.add_argument("--tolerance", type=float, default=0.3,
+                    help="per-set Top-1 tolerance in percentage points")
+    ap.add_argument("--expected_json",
+                    help="override the published-expectation table "
+                         "(JSON {row: {set: top1}}); used by the smoke test")
+    ap.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
+                    help="extra flags appended to every CLI invocation "
+                         "(the smoke test passes the tiny-arch knobs)")
+    ap.add_argument("--out", default=str(ROOT / "PARITY_RESULTS.json"))
+    args = ap.parse_args()
+
+    expected = EXPECTED
+    if args.expected_json:
+        expected = json.loads(pathlib.Path(args.expected_json).read_text())
+
+    npz = ensure_checkpoint(args)
+    sets = [s for s in args.test_sets.split("/") if s]
+    results = {"arch": args.arch, "test_sets": sets,
+               "tolerance": args.tolerance, "rows": {}}
+    failed = False
+
+    for row in [r for r in args.rows.split(",") if r]:
+        flags = []
+        skip = None
+        for f in ROW_FLAGS[row]:
+            if f == "{coop_ckpt}":
+                f = args.coop_ckpt
+                skip = skip or (None if f else "needs --coop_ckpt "
+                                "(trained CoOp prompt checkpoint)")
+            elif f == "{cocoop_ckpt}":
+                f = args.cocoop_ckpt
+                skip = skip or (None if f else "needs --cocoop_ckpt "
+                                "(trained CoCoOp checkpoint)")
+            flags.append(f)
+        if skip:
+            results["rows"][row] = {"skipped": skip}
+            print(f"[{row}] SKIPPED: {skip}", flush=True)
+            continue
+
+        cmd = [sys.executable, "-m", "ttl_tpu", args.data_root,
+               "--test_sets", args.test_sets, "--arch", args.arch,
+               "--seed", "0", "--checkpoint_path", npz] + flags + args.extra
+        t0 = time.time()
+        r = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+        row_res = {"cmd": " ".join(cmd), "elapsed_s": round(time.time() - t0),
+                   "sets": {}}
+        if r.returncode != 0:
+            row_res["error"] = r.stderr[-2000:]
+            failed = True
+            print(f"[{row}] ERROR rc={r.returncode}", flush=True)
+        else:
+            for s in sets:
+                m = re.search(rf"\[{re.escape(s)}\]: @1 ([0-9.]+)/ "
+                              rf"@5 ([0-9.]+)", r.stdout)
+                if not m:
+                    row_res["sets"][s] = {"error": "no summary line"}
+                    failed = True
+                    continue
+                top1 = float(m.group(1))
+                want = expected.get(row, {}).get(s)
+                ok = (want is None
+                      or abs(top1 - want) <= args.tolerance)
+                row_res["sets"][s] = {"top1": top1, "top5": float(m.group(2)),
+                                      "expected": want, "ok": ok}
+                failed = failed or not ok
+                print(f"[{row}][{s}] top1={top1:.2f} expected={want} "
+                      f"{'OK' if ok else 'FAIL'}", flush=True)
+        results["rows"][row] = row_res
+
+    results["pass"] = not failed
+    pathlib.Path(args.out).write_text(json.dumps(results, indent=1) + "\n")
+    print(json.dumps({"pass": results["pass"], "out": args.out}))
+    sys.exit(0 if results["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
