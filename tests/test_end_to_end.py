@@ -59,6 +59,24 @@ def test_full_run_smoke(capsys):
     assert "Acc@1" in out
 
 
+def test_results_json_written(tmp_path):
+    """--results_json: machine-readable summary alongside the printed table
+    (a capability the reference lacks - ttl.py:288-297 only prints)."""
+    import json
+    ds = make_synthetic_dataset()
+    path = tmp_path / "res.json"
+    results = run(CFG.replace(results_json=str(path)),
+                  datasets={"eurosat": ds})
+    payload = json.loads(path.read_text())
+    assert payload["results"]["eurosat"]["top1"] == pytest.approx(
+        results["eurosat"][0], abs=1e-3)
+    assert payload["config"]["arch"] == "test-tiny"
+    assert payload["config"]["layer_range"] == [2, 3]
+    # the CLI exposes it
+    args = build_parser().parse_args(["d/", "--results_json", "x.json"])
+    assert config_from_args(args).results_json == "x.json"
+
+
 @pytest.mark.slow
 def test_full_run_deterministic():
     ds = make_synthetic_dataset()

@@ -128,6 +128,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, type=str, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR "
                         "and print the top device ops")
+    p.add_argument("--results_json", default=None, type=str, metavar="PATH",
+                   help="also write the end-of-run summary (per-set "
+                        "top1/top5 + the exact config) as JSON to PATH")
     p.add_argument("--init_distributed", action="store_true",
                    help="call jax.distributed.initialize() before running "
                         "(multi-host: coordinator/process env autodetected "

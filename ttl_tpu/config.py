@@ -120,6 +120,10 @@ class TTLConfig:
     # frozen). ~1.46x faster GEMMs on v5e MXU (ops/quant.py); default off -
     # full precision is the accuracy-parity configuration
     prefix_quant: str = "none"               # none|int8
+    # write the end-of-run summary (per-set top1/top5 + the exact config)
+    # as machine-readable JSON alongside the printed table (the reference
+    # only prints, ttl.py:288-297); None = don't write
+    results_json: Optional[str] = None
 
     @property
     def n_views(self) -> int:

@@ -402,4 +402,18 @@ def run(cfg: TTLConfig, *, datasets: Optional[Dict] = None,
         print("\t\t [set_id] \t\t Top-1 acc. \t\t Top-5 acc.")
         print("\t".join(results.keys()))
         print("\t".join(f"{v[0]:.2f}" for v in results.values()))
+        if cfg.results_json:
+            import dataclasses
+            import json
+            payload = {
+                "results": {k: {"top1": round(v[0], 4),
+                                "top5": round(v[1], 4)}
+                            for k, v in results.items()},
+                "config": {k: (list(v) if isinstance(v, tuple) else v)
+                           for k, v in dataclasses.asdict(cfg).items()},
+            }
+            with open(cfg.results_json, "w") as f:
+                json.dump(payload, f, indent=1)
+                f.write("\n")
+            print(f"results written to {cfg.results_json}", flush=True)
     return results
