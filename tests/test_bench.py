@@ -54,6 +54,16 @@ def test_emit_once_prints_exactly_once(capsys):
     assert lines == ['{"a": 1}']
 
 
+def test_load_last_known_good_skips_null_artifacts():
+    """The relay-dark fallback context figure: newest committed BENCH_r*
+    with a real value (r03 is the null outage artifact and must be
+    skipped)."""
+    from bench import load_last_known_good
+    lkg = load_last_known_good()
+    assert lkg is not None and lkg["value"] > 0
+    assert lkg["artifact"] != "BENCH_r03.json"
+
+
 def test_measure_single_device():
     args = _setup(8)
     sps = measure(TEST_TINY, CFG, *args, windows=1, iters=2)
