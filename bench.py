@@ -216,12 +216,16 @@ def measure(clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, *,
     return S / best
 
 
-def busy_ms_for(step, *, steps=4):
+def busy_ms_for(step, *, steps=4, devices=1):
     """Device-busy ms/step of `step` from a short xprof trace, or None.
 
     Per-op self-times are stable to ~us even under heavy relay contention
     (PERF_NOTES.md), so this is the contention-free co-primary for every
-    stage. Failures warn rather than silently dropping telemetry."""
+    stage. Failures warn rather than silently dropping telemetry.
+    `devices`: op_stats sums self-time over ALL device cores, so a mesh
+    program must divide by the device count to get one chip's busy span
+    (the chips run the same step concurrently; assumes the data-parallel
+    load is balanced, which the equal per-chip shard guarantees)."""
     import shutil
     import tempfile
 
@@ -238,7 +242,8 @@ def busy_ms_for(step, *, steps=4):
             rows = op_stats(td, top=500)
             if rows:
                 return sum(r["self_time_us"] for r in rows
-                           if r["operation"] != "IDLE") / steps / 1000.0
+                           if r["operation"] != "IDLE") \
+                    / steps / devices / 1000.0
         finally:
             shutil.rmtree(td, ignore_errors=True)
     except Exception as e:
@@ -428,7 +433,8 @@ def main():
                        step=step_s)
         out[value_key] = round(wall, 2)
         if remaining() > 45:
-            b = busy_ms_for(step_s)
+            b = busy_ms_for(step_s,
+                            devices=(mesh.size if mesh is not None else 1))
             if b:
                 out[f"busy_{name}_sps"] = round(S_s / (b / 1000.0), 2)
                 out[f"contention_{name}"] = bool(

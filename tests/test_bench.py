@@ -99,8 +99,10 @@ def test_bench_main_contract():
     # the primary figure is a single-device rate, so its provisional
     # vs_baseline must be against the PER-CHIP pace (25/s) even with 8
     # devices attached (the aggregate stage, skipped here, overwrites it)
+    # value is rounded to 2 decimals, vs_baseline computed from the
+    # unrounded rate: they can differ by up to 0.005/25 = 2e-4 absolute
     assert out["vs_baseline"] == pytest.approx(out["value"] / 25.0,
-                                               rel=1e-3)
+                                               abs=3e-4)
     # budget 45s is below every optional-stage threshold, so all four must
     # be skipped (the 8-device CPU mesh makes `aggregate` reachable)
     assert set(out["skipped_stages"]) == {

@@ -138,38 +138,49 @@ def main():
     ok, attempts = bench.preflight_probe(remaining, budget)
     out["probe_ok"], out["probe_attempts"] = ok, attempts
 
-    for row in rows_wanted:
-        t_row = time.time()
-        (clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws, tokens,
-         window) = setup_row(row, args.classes, args.s)
-        step, S = bench.make_step(clip_cfg, cfg, params, text_cls,
-                                  adapters0, canv, hs, ws, tokens=tokens)
-        wall = bench.measure(clip_cfg, cfg, params, text_cls, adapters0,
-                             canv, hs, ws, windows=args.windows,
-                             iters=args.iters, step=step)
-        entry = {"row": row, "arch": cfg.arch,
-                 "lora_encoder": cfg.lora_encoder,
-                 "layer_range": list(window),
-                 "resolution": cfg.resolution,
-                 "wall_sps": round(wall, 2),
-                 "elapsed_s": round(time.time() - t_row, 1)}
-        if remaining() > 45:
-            b = bench.busy_ms_for(step)
-            if b:
-                entry["busy_ms_per_step"] = round(b, 1)
-                entry["busy_sps"] = round(S / (b / 1000.0), 2)
-                entry["contention_suspected"] = bool(
-                    wall < 0.7 * S / (b / 1000.0))
-        out["rows"].append(entry)
-        out["missing_rows"] = [r for r in rows_wanted
-                               if r not in {e["row"] for e in out["rows"]}]
-        print(f"bench_arches: {row}: {entry}", file=sys.stderr, flush=True)
-        if remaining() < 60 and out["missing_rows"]:
-            print(f"bench_arches: budget exhausted; missing "
-                  f"{out['missing_rows']}", file=sys.stderr, flush=True)
-            break
-
-    finish()
+    try:
+        for row in rows_wanted:
+            t_row = time.time()
+            try:
+                (clip_cfg, cfg, params, text_cls, adapters0, canv, hs, ws,
+                 tokens, window) = setup_row(row, args.classes, args.s)
+                step, S = bench.make_step(clip_cfg, cfg, params, text_cls,
+                                          adapters0, canv, hs, ws,
+                                          tokens=tokens)
+                wall = bench.measure(clip_cfg, cfg, params, text_cls,
+                                     adapters0, canv, hs, ws,
+                                     windows=args.windows,
+                                     iters=args.iters, step=step)
+                entry = {"row": row, "arch": cfg.arch,
+                         "lora_encoder": cfg.lora_encoder,
+                         "layer_range": list(window),
+                         "resolution": cfg.resolution,
+                         "wall_sps": round(wall, 2),
+                         "elapsed_s": round(time.time() - t_row, 1)}
+                if remaining() > 45:
+                    b = bench.busy_ms_for(step)
+                    if b:
+                        entry["busy_ms_per_step"] = round(b, 1)
+                        entry["busy_sps"] = round(S / (b / 1000.0), 2)
+                        entry["contention_suspected"] = bool(
+                            wall < 0.7 * S / (b / 1000.0))
+            except Exception as e:
+                # one broken row (bad arch, relay error surfacing as an
+                # exception) must not lose the rows already measured
+                entry = {"row": row, "error": f"{type(e).__name__}: {e}",
+                         "elapsed_s": round(time.time() - t_row, 1)}
+            out["rows"].append(entry)
+            out["missing_rows"] = [
+                r for r in rows_wanted
+                if r not in {e["row"] for e in out["rows"]}]
+            print(f"bench_arches: {row}: {entry}", file=sys.stderr,
+                  flush=True)
+            if remaining() < 60 and out["missing_rows"]:
+                print(f"bench_arches: budget exhausted; missing "
+                      f"{out['missing_rows']}", file=sys.stderr, flush=True)
+                break
+    finally:
+        finish()
 
 
 if __name__ == "__main__":

@@ -84,7 +84,13 @@ def ensure_checkpoint(args) -> str:
         if r.returncode != 0:
             sys.exit(f"checkpoint download failed (no egress?) - pass "
                      f"--ckpt or --npz\n{r.stderr[-1000:]}")
-        ckpt = r.stdout.strip().splitlines()[-1]
+        # last line is "verified /path/to/ARCH.pt" (download_weights.py)
+        last = r.stdout.strip().splitlines()[-1]
+        ckpt = last.split(None, 1)[1] if last.startswith("verified ") \
+            else last
+        if not os.path.exists(ckpt):
+            sys.exit(f"could not locate the downloaded checkpoint from "
+                     f"download_weights output: {last!r}")
     npz = str(pathlib.Path(ckpt).with_suffix(".npz"))
     if not os.path.exists(npz):
         conv = [sys.executable, str(ROOT / "tools" / "convert_checkpoint.py"),

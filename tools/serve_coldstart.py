@@ -43,14 +43,24 @@ def one_run(args, env) -> dict:
                             stderr=subprocess.DEVNULL, text=True, cwd=ROOT,
                             env=env)
     try:
-        ready = None
-        deadline = t0 + args.timeout
-        for line in proc.stdout:  # READY marker: printed after warmup
-            if "ttl_tpu serving on" in line:
-                ready = time.time() - t0
-                break
-            if time.time() > deadline:
-                break
+        # READY marker, watched from a reader thread: a hung relay connect
+        # prints nothing, and a blocking readline on the main thread would
+        # ignore --timeout entirely (the deadline must fire with NO output)
+        import threading
+        got_ready = threading.Event()
+        ready_at = [None]
+
+        def watch():
+            for line in proc.stdout:
+                if "ttl_tpu serving on" in line:
+                    ready_at[0] = time.time() - t0
+                    got_ready.set()
+                    return
+            got_ready.set()  # EOF: process died
+
+        threading.Thread(target=watch, daemon=True).start()
+        got_ready.wait(args.timeout)
+        ready = ready_at[0]
         if ready is None:
             return {"error": f"no READY line within {args.timeout:.0f}s"}
 
