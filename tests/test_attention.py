@@ -70,6 +70,51 @@ def test_fused_vjp_causal():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape,causal", [
+    ((2, 3, 197, 64), False),   # ViT-B/16 image sequence
+    ((3, 2, 77, 32), True),     # text sequence, causal
+    ((1, 1, 16, 64), False),    # already tile-aligned
+])
+def test_heads_batched_forward_matches_reference(shape, causal):
+    """attention_heads (grid over B, in-kernel batched head dots,
+    TTL_FUSED_ATTENTION=heads) == einsum reference."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+    ref = fa.reference_attention(q, k, v, causal)
+    out = fa.attention_heads(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_heads_batched_vjp_matches_reference(causal):
+    shape = (2, 2, 37, 32)  # odd length exercises padding in the backward
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+
+    def loss(att):
+        return lambda q, k, v: jnp.sum(jnp.sin(att(q, k, v, causal)))
+
+    g1 = jax.grad(loss(fa.attention_heads), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(fa.reference_attention), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_fused_mode_env_dispatch(monkeypatch):
+    """TTL_FUSED_ATTENTION values -> kernel selection (lru_cache cleared)."""
+    for env, want in [("", ""), ("1", "per_head"), ("true", "per_head"),
+                      ("per_head", "per_head"), ("heads", "heads"),
+                      ("0", "")]:
+        fa.fused_mode.cache_clear()
+        monkeypatch.setenv("TTL_FUSED_ATTENTION", env)
+        assert fa.fused_mode() == want, env
+        assert fa.use_fused() == bool(want), env
+    fa.fused_mode.cache_clear()
+    monkeypatch.delenv("TTL_FUSED_ATTENTION")
+
+
 def test_ln_matmul_kernel_matches_reference():
     """Fused LN+matmul Pallas kernel: exact parity with layer_norm+linear.
     (Measured performance-neutral vs XLA on v5e - see module docstring -

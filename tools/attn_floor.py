@@ -21,9 +21,7 @@ Usage:
 Prints a JSON table; paste the verdict into PERF_NOTES.md.
 """
 import argparse
-import functools
 import json
-import math
 import os
 import sys
 import time
@@ -52,49 +50,6 @@ def roofline_ms(b, h, s, d, *, fused: bool) -> float:
     t_compute = flops / (BF16_TFLOPS * 1e12)
     t_mem = (qkvo + scores) / (HBM_GBPS * 1e9)
     return max(t_compute, t_mem) * 1e3
-
-
-def heads_batched_pallas(q, k, v):
-    """Grid over batch only; all H heads of one batch element per program
-    (batched in-kernel dots). The per-(b*h) grid pays grid overhead at
-    tiny [197,64] blocks; this amortizes it 12x."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from ttl_tpu.ops.attention import _interpret, _round_up
-
-    b, h, s, d = q.shape
-    sp = _round_up(s, 16)
-    pad = [(0, 0), (0, 0), (0, sp - s), (0, 0)]
-    qp = jnp.pad(q, pad)
-    kp = jnp.pad(k, pad)
-    vp = jnp.pad(v, pad)
-    scale = 1.0 / math.sqrt(d)
-
-    def kernel(q_ref, k_ref, v_ref, o_ref):
-        qh = q_ref[0]                      # [H, Sp, D]
-        kh = k_ref[0]
-        vh = v_ref[0]
-        scores = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale    # [H, Sp, Sp]
-        kpos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
-        scores = jnp.where(kpos < s, scores, jnp.float32(-1e9))
-        w = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
-        o_ref[0] = jax.lax.dot_general(
-            w, vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
-
-    spec = pl.BlockSpec((1, h, sp, d), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel, grid=(b,), in_specs=[spec] * 3, out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, sp, d), q.dtype),
-        interpret=_interpret(),
-    )(qp, kp, vp)
-    return out[:, :, :s]
 
 
 def time_variant(fn, q, k, v, *, iters, windows, layout="bhsd"):
@@ -140,8 +95,8 @@ def main():
         jax.config.update("jax_platforms", os.environ["TTL_BENCH_PLATFORM"])
     import jax.numpy as jnp
 
-    from ttl_tpu.ops.attention import (attention_bshd, fused_attention,
-                                       reference_attention)
+    from ttl_tpu.ops.attention import (attention_bshd, attention_heads,
+                                       fused_attention, reference_attention)
     from ttl_tpu.utils.jaxcache import enable_compilation_cache, \
         honor_platform_env
     if not os.environ.get("TTL_BENCH_PLATFORM"):
@@ -166,7 +121,8 @@ def main():
             "xla_bshd": (attention_bshd, (qs, ks, vs)),
             "pallas_per_head": (
                 lambda a, b_, c: fused_attention(a, b_, c), (q, k, v)),
-            "pallas_heads_batched": (heads_batched_pallas, (q, k, v)),
+            "pallas_heads_batched": (
+                lambda a, b_, c: attention_heads(a, b_, c), (q, k, v)),
         }
         table = {
             "b": b, "batch_heads": b * args.h,

@@ -131,8 +131,11 @@ def _attention(q, k, v, heads: int, causal: bool):
         return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = split(q), split(k), split(v)
-    if fa.use_fused():
+    mode = fa.fused_mode()
+    if mode == "per_head":
         out = fa.attention(q, k, v, causal)
+    elif mode == "heads":
+        out = fa.attention_heads(q, k, v, causal)
     else:
         out = fa.reference_attention(q, k, v, causal)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)

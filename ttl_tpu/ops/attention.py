@@ -34,19 +34,32 @@ def _interpret() -> bool:
 
 
 @functools.lru_cache()
-def use_fused() -> bool:
-    """Whether the towers route attention through the Pallas kernel.
+def fused_mode() -> str:
+    """Which Pallas kernel (if any) the towers route attention through.
 
-    Default OFF: measured on v5e at ViT-B shapes (64x12 heads, seq 197) the
-    per-(batch*head) kernel grid is ~30% slower than XLA's batched-GEMM
-    einsum attention; G-instances-per-program and in-kernel batched-dot
+    '' (default): XLA's batched-GEMM einsum attention - measured winner on
+    v5e at ViT-B shapes (64x12 heads, seq 197): the per-(batch*head) kernel
+    grid is ~30% slower; G-instances-per-program and in-kernel batched-dot
     reformulations narrowed that to ~15% but still lose - at this sequence
     length XLA's batching wins over avoiding the HBM score round-trip.
-    The kernel is numerically exact (diff 0.0 on-chip) and available via
-    TTL_FUSED_ATTENTION=1 for shapes where the trade flips (longer
-    sequences / larger heads)."""
+    'per_head' (TTL_FUSED_ATTENTION=1|true|per_head): the original
+    one-(batch*head)-per-program kernel. 'heads'
+    (TTL_FUSED_ATTENTION=heads): the heads-batched grid - one batch element
+    per program, all H heads as in-kernel batched dots, amortizing grid
+    overhead 12x (the r4 candidate; tools/attn_floor.py measures all
+    three). Every kernel is numerically exact (f32 scores in VMEM)."""
     import os
-    return os.environ.get("TTL_FUSED_ATTENTION") in ("1", "true", "True")
+    v = os.environ.get("TTL_FUSED_ATTENTION", "")
+    if v in ("1", "true", "True", "per_head"):
+        return "per_head"
+    if v == "heads":
+        return "heads"
+    return ""
+
+
+def use_fused() -> bool:
+    """Back-compat boolean: any Pallas kernel selected."""
+    return bool(fused_mode())
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
@@ -178,6 +191,116 @@ def _attention_bwd(causal, res, do):
 
 
 attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+# ------------------------------------------------- heads-batched grid (r4)
+
+def _heads_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
+                  causal: bool):
+    """One batch element per program; all H heads as batched in-kernel
+    dots. Same math as _attn_kernel; the [H, Sp, Sp] f32 score block stays
+    in VMEM (12 heads x 208^2 f32 ~= 2.1 MB at ViT-B shapes)."""
+    q = q_ref[0]                     # [H, Sp, D]
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale      # [H, Sp, Sp]
+    kpos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    mask = kpos < seq_len
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mask = mask & (kpos <= qpos)
+    scores = jnp.where(mask, scores, jnp.float32(-1e9))
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        w, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _heads_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                      *, seq_len: int, scale: float, causal: bool):
+    """Recompute-softmax backward, one batch element per program (the
+    heads-batched analog of _attn_bwd_kernel; same VJP algebra with a
+    leading head batch dim on every dot)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    kpos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    mask = kpos < seq_len
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mask = mask & (kpos <= qpos)
+    scores = jnp.where(mask, scores, jnp.float32(-1e9))
+    w = jax.nn.softmax(scores, axis=-1)
+
+    dv_ref[0] = jax.lax.dot_general(
+        w.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dw = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    ds = jnp.where(mask, ds, 0.0) * scale
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _heads_call(kernel, n_out, q, k, v, extra=()):
+    b, h, s, d = q.shape
+    sp = _round_up(s, 16)
+    pad = [(0, 0), (0, 0), (0, sp - s), (0, 0)]
+
+    def prep(t):
+        return jnp.pad(t, pad)
+
+    spec = pl.BlockSpec((1, h, sp, d), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, h, sp, d), q.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec] * (3 + len(extra)),
+        out_specs=spec if n_out == 1 else (spec,) * n_out,
+        out_shape=shape if n_out == 1 else (shape,) * n_out,
+        interpret=_interpret(),
+    )(prep(q), prep(k), prep(v), *(prep(t) for t in extra))
+    if n_out == 1:
+        return out[:, :, :s]
+    return tuple(t[:, :, :s] for t in out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attention_heads(q, k, v, causal: bool = False):
+    """Differentiable heads-batched fused attention: [B, H, S, D] ->
+    [B, H, S, D], grid over B only (TTL_FUSED_ATTENTION=heads)."""
+    d = q.shape[-1]
+    kernel = functools.partial(_heads_kernel, seq_len=q.shape[2],
+                               scale=1.0 / math.sqrt(d), causal=causal)
+    return _heads_call(kernel, 1, q, k, v)
+
+
+def _attention_heads_fwd(q, k, v, causal):
+    return attention_heads(q, k, v, causal), (q, k, v)
+
+
+def _attention_heads_bwd(causal, res, do):
+    q, k, v = res
+    d = q.shape[-1]
+    kernel = functools.partial(_heads_bwd_kernel, seq_len=q.shape[2],
+                               scale=1.0 / math.sqrt(d), causal=causal)
+    return _heads_call(kernel, 3, q, k, v, extra=(do,))
+
+
+attention_heads.defvjp(_attention_heads_fwd, _attention_heads_bwd)
 
 
 def _scores_dtype_low() -> bool:
