@@ -339,7 +339,12 @@ def main():
     from ttl_tpu.models.zoo import get_arch
     from ttl_tpu.ops.lora import init_adapters
 
-    S = 8
+    # S=10: device-busy time is flat in S (30.03 vs 30.08 busy-sps at
+    # S=8/10, r4 busy-traced sweep), but each step pays a fixed relay
+    # round trip, so batching 10 samples per step amortizes it ~6% better
+    # wall than 8 (28.0/27.93 vs 26.38 across healthy windows; 1000-class
+    # HBM validated). PERF_NOTES.md "Default S, settled".
+    S = int(os.environ.get("TTL_BENCH_S", "10"))
     arch = os.environ.get("TTL_BENCH_ARCH", "ViT-B/16")
     clip_cfg = get_arch(arch)
     cfg = TTLConfig(  # reference defaults (at the benched arch)
@@ -395,6 +400,7 @@ def main():
             "baseline_note": "target=200/s v5e-8 aggregate = 25/s per chip;"
                              f" {n_dev} device(s) attached; see BASELINE.md"
                              " ceiling accounting",
+            "sample_batch": S,
         }
         if provisional:
             d["provisional"] = True

@@ -111,6 +111,9 @@ def test_bench_main_contract():
     # final headline is the window-campaign figure, not the provisional one
     assert out["probe_ok"] is True and out["probe_attempts"] >= 1
     assert "provisional" not in out
+    # the settled default S=10 (PERF_NOTES "Default S") is recorded in the
+    # artifact so every BENCH_r* figure is tied to its batch size
+    assert out["sample_batch"] == 10
 
 
 @pytest.mark.slow
@@ -146,6 +149,34 @@ def test_bench_dark_relay_structured_fallback():
     assert out["last_known_good"]["value"] > 0
     assert "artifact" in out["last_known_good"]
     assert "NOT a fresh measurement" in out["note"]
+
+
+@pytest.mark.slow
+def test_perf_r02_busy_smoke():
+    """tools/perf_r02.py --busy: the sweep tool's contention-free
+    co-primary (busy ms/step from an xprof trace) must stay drivable on
+    CPU at test-tiny, so S-sweep decisions are never wall-only again
+    (PERF_NOTES measurement protocol)."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(root / "tools" / "perf_r02.py"), "fused",
+         "--arch", "test-tiny", "--s", "4", "--classes", "5",
+         "--windows", "1", "--iters", "2", "--busy"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=root)
+    assert r.returncode == 0, r.stderr[-2000:]
+    (line,) = [ln for ln in r.stdout.strip().splitlines()
+               if ln.startswith("{")]
+    row = json.loads(line)
+    assert row["samples_per_sec"] > 0
+    assert row["busy_ms_per_step"] > 0
+    assert row["busy_sps"] > 0
 
 
 @pytest.mark.slow

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--windows", type=int, default=4)
     ap.add_argument("--arch", default="ViT-B/16")
+    ap.add_argument("--busy", action="store_true",
+                    help="also trace 4 steps and report device-busy "
+                         "ms/step + busy samples/s (contention-free)")
     args = ap.parse_args()
 
     if args.variant in ("base", "fused_f32"):
@@ -61,15 +64,15 @@ def main():
     from ttl_tpu.parallel.eval import make_count_fn
 
     S = args.s
+    clip_cfg = get_arch(args.arch)
     cfg = TTLConfig(sample_batch=S, arch=args.arch,
-                    resolution=336 if "336" in args.arch else 224,
+                    resolution=clip_cfg.vision.image_size,
                     prefix_quant=("int8" if args.variant.endswith("quant")
                                   else "none"),
                     cocoop=args.variant.startswith("cocoop"),
                     lora_encoder=("prompt" if args.variant.startswith("tpt")
                                   else "text" if args.variant.startswith("text")
                                   else "image"))
-    clip_cfg = get_arch(cfg.arch)
     params = init_clip_params(jax.random.PRNGKey(0), clip_cfg,
                               param_dtype=jnp.bfloat16)
     if cfg.prefix_quant == "int8":
@@ -188,13 +191,36 @@ def main():
         windows.append((time.time() - t0) / args.iters)
     dt = min(windows)
     sps = S / dt
-    print(json.dumps({
+    row = {
         "variant": args.variant, "arch": args.arch, "s": S,
         "classes": args.classes,
         "samples_per_sec": round(sps, 2),
         "ms_per_sample": round(1000.0 / sps, 2),
         "windows_sps": [round(S / x, 2) for x in windows],
-    }))
+    }
+    if args.busy:
+        # contention-free co-primary (PERF_NOTES measurement protocol):
+        # per-op self-times from a short xprof trace are stable to ~us
+        # even when the relay inflates wall clock.
+        import shutil
+        import tempfile
+
+        from ttl_tpu.utils.profiling import op_stats, trace
+        td = tempfile.mkdtemp(prefix="ttl_perf_trace_")
+        try:
+            with trace(td):
+                pend = [step(9000 + i) for i in range(4)]
+                for p in pend:
+                    np.asarray(p)
+            rows = op_stats(td, top=500)
+            if rows:
+                busy_ms = sum(r["self_time_us"] for r in rows
+                              if r["operation"] != "IDLE") / 4 / 1000.0
+                row["busy_ms_per_step"] = round(busy_ms, 1)
+                row["busy_sps"] = round(S / (busy_ms / 1000.0), 2)
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,8 @@ run arches     1700 python tools/bench_arches.py
 run attn_floor  900 python tools/attn_floor.py --b 64 512
 run coldstart  1300 python tools/serve_coldstart.py --runs 2
 run quant1000  1800 python tools/quant_fidelity.py --samples 512 --classes 1000
-# S sweet-spot: 1000-class validation before any default change (NEXT_STEPS)
-run s10        700 python tools/perf_r02.py fused --s 10 --classes 1000 --windows 3
-run s12        700 python tools/perf_r02.py fused --s 12 --classes 1000 --windows 3
+# S sweet-spot: 1000-class validation before any default change (NEXT_STEPS).
+# --busy: wall alone is not evidence on this relay (measurement protocol).
+run s10        900 python tools/perf_r02.py fused --s 10 --classes 1000 --windows 3 --busy
+run s12        900 python tools/perf_r02.py fused --s 12 --classes 1000 --windows 3 --busy
 echo "campaign done; outputs in /tmp/r04/"
