@@ -222,14 +222,14 @@ def busy_ms_for(step, *, steps=4, devices=1):
     Per-op self-times are stable to ~us even under heavy relay contention
     (PERF_NOTES.md), so this is the contention-free co-primary for every
     stage. Failures warn rather than silently dropping telemetry.
-    `devices`: op_stats sums self-time over ALL device cores, so a mesh
+    `devices`: device_busy_us sums self-time over ALL device cores, so a mesh
     program must divide by the device count to get one chip's busy span
     (the chips run the same step concurrently; assumes the data-parallel
     load is balanced, which the equal per-chip shard guarantees)."""
     import shutil
     import tempfile
 
-    from ttl_tpu.utils.profiling import op_stats, trace
+    from ttl_tpu.utils.profiling import device_busy_us, trace
 
     try:
         np.asarray(step(7))  # ensure compiled/warm outside the trace
@@ -239,11 +239,9 @@ def busy_ms_for(step, *, steps=4, devices=1):
                 pend = [step(10 + i) for i in range(steps)]
                 for p in pend:
                     np.asarray(p)
-            rows = op_stats(td, top=500)
-            if rows:
-                return sum(r["self_time_us"] for r in rows
-                           if r["operation"] != "IDLE") \
-                    / steps / devices / 1000.0
+            busy_us = device_busy_us(td)
+            if busy_us:
+                return busy_us / steps / devices / 1000.0
         finally:
             shutil.rmtree(td, ignore_errors=True)
     except Exception as e:

@@ -82,9 +82,12 @@ def test_bench_main_contract():
     import sys
 
     root = pathlib.Path(__file__).resolve().parent.parent
+    # pin TTL_BENCH_S: an ambient export would change the measured S and
+    # break the sample_batch==10 assertion below (ADVICE r4)
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                TTL_BENCH_PLATFORM="cpu", TTL_BENCH_ARCH="test-tiny",
+               TTL_BENCH_S="10",
                TTL_BENCH_BUDGET_S="45", TTL_BENCH_WATCHDOG_GRACE_S="600")
     r = subprocess.run([sys.executable, str(root / "bench.py")],
                        capture_output=True, text=True, timeout=540, env=env,

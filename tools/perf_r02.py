@@ -201,23 +201,28 @@ def main():
     if args.busy:
         # contention-free co-primary (PERF_NOTES measurement protocol):
         # per-op self-times from a short xprof trace are stable to ~us
-        # even when the relay inflates wall clock.
+        # even when the relay inflates wall clock. Failures must not lose
+        # the wall row already computed above (ADVICE r4): warn and emit
+        # the wall-only row.
         import shutil
+        import sys
         import tempfile
 
-        from ttl_tpu.utils.profiling import op_stats, trace
+        from ttl_tpu.utils.profiling import device_busy_us, trace
         td = tempfile.mkdtemp(prefix="ttl_perf_trace_")
         try:
             with trace(td):
                 pend = [step(9000 + i) for i in range(4)]
                 for p in pend:
                     np.asarray(p)
-            rows = op_stats(td, top=500)
-            if rows:
-                busy_ms = sum(r["self_time_us"] for r in rows
-                              if r["operation"] != "IDLE") / 4 / 1000.0
+            busy_us = device_busy_us(td)
+            if busy_us:
+                busy_ms = busy_us / 4 / 1000.0
                 row["busy_ms_per_step"] = round(busy_ms, 1)
                 row["busy_sps"] = round(S / (busy_ms / 1000.0), 2)
+        except Exception as e:
+            print(f"perf_r02: busy trace failed ({type(e).__name__}: {e}); "
+                  f"emitting wall-only row", file=sys.stderr)
         finally:
             shutil.rmtree(td, ignore_errors=True)
     print(json.dumps(row))

@@ -50,7 +50,7 @@ def main():
     from ttl_tpu.ops.lora import init_adapters
     from ttl_tpu.parallel.eval import make_count_fn
     from ttl_tpu.utils.jaxcache import enable_compilation_cache
-    from ttl_tpu.utils.profiling import PhaseTimer, op_stats, trace
+    from ttl_tpu.utils.profiling import PhaseTimer, device_busy_us, trace
 
     enable_compilation_cache()
     S = args.sample_batch
@@ -111,10 +111,9 @@ def main():
     try:
         with trace(td):
             run_loop(6)
-        rows = op_stats(td, top=500)
-        if rows:
-            busy_ms = sum(r["self_time_us"] for r in rows
-                          if r["operation"] != "IDLE") / 6 / 1000.0
+        busy_us = device_busy_us(td)
+        if busy_us:
+            busy_ms = busy_us / 6 / 1000.0
     except Exception as e:
         print(f"WARNING: trace failed: {type(e).__name__}: {e}",
               file=sys.stderr)

@@ -30,9 +30,10 @@ def trace(log_dir: str):
         yield
 
 
-def op_stats(trace_dir: str, top: int = 15) -> List[Dict]:
-    """Summarize the newest xplane in trace_dir: top device ops by
-    self-time. Returns a list of dicts; prints nothing."""
+def _device_rows(trace_dir: str):
+    """Parse the newest xplane in trace_dir into (device_rows, col_fn), or
+    None when no converter/trace is available. Internal helper shared by
+    op_stats and device_busy_us."""
     try:
         from xprof.convert import raw_to_tool_data as rtd
     except ImportError:
@@ -40,10 +41,10 @@ def op_stats(trace_dir: str, top: int = 15) -> List[Dict]:
             from tensorboard_plugin_profile.convert import \
                 raw_to_tool_data as rtd
         except ImportError:
-            return []
+            return None
     files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
     if not files:
-        return []
+        return None
     data, _ = rtd.xspace_to_tool_data([files[-1]], "framework_op_stats", {})
     table = json.loads(data if isinstance(data, str) else data.decode())[0]
     ids = [c["id"] for c in table["cols"]]
@@ -53,6 +54,16 @@ def op_stats(trace_dir: str, top: int = 15) -> List[Dict]:
         return r[ids.index(name)]
 
     dev = [r for r in rows if col(r, "host_or_device") == "Device"]
+    return dev, col
+
+
+def op_stats(trace_dir: str, top: int = 15) -> List[Dict]:
+    """Summarize the newest xplane in trace_dir: top device ops by
+    self-time. Returns a list of dicts; prints nothing."""
+    parsed = _device_rows(trace_dir)
+    if parsed is None:
+        return []
+    dev, col = parsed
     total = sum(float(col(r, "total_self_time") or 0) for r in dev)
     dev.sort(key=lambda r: -float(col(r, "total_self_time") or 0))
     out = []
@@ -67,6 +78,23 @@ def op_stats(trace_dir: str, top: int = 15) -> List[Dict]:
             "occurrences": col(r, "occurrences"),
         })
     return out
+
+
+def device_busy_us(trace_dir: str):
+    """UNTRUNCATED non-IDLE device self-time (us) summed over every device
+    op in the newest xplane, or None when no trace/converter is available.
+
+    Decision-bearing busy figures must use this rather than summing a
+    truncated op_stats(top=N) listing, which silently drops ops beyond N
+    and inflates the derived busy-sps (ADVICE r4)."""
+    parsed = _device_rows(trace_dir)
+    if parsed is None:
+        return None
+    dev, col = parsed
+    if not dev:
+        return None
+    return sum(float(col(r, "total_self_time") or 0) for r in dev
+               if col(r, "operation") != "IDLE")
 
 
 class PhaseTimer:
