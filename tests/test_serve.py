@@ -339,6 +339,48 @@ def test_http_metrics_endpoint(predictor):
     assert m["latency_p50_ms"] <= m["latency_p95_ms"] <= m["latency_p99_ms"]
 
 
+def test_http_serve_over_mesh_shape(predictor):
+    """End-to-end HTTP smoke over an explicit {data:4, model:2} mesh
+    (--mesh_shape 4,2 semantics): the served prediction must match the
+    single-device predictor (VERDICT r4 next #7 - the mesh path had no
+    HTTP-level test)."""
+    import socket
+    import time
+
+    params = init_clip_params(jax.random.PRNGKey(0), TEST_TINY)
+    mesh_pred = TTLPredictor(
+        CLASSES, CFG.replace(sample_batch=4, mesh_shape=(4, 2)),
+        params=params, clip_cfg=TEST_TINY, warmup=False, use_mesh=True)
+    assert dict(mesh_pred.mesh.shape) == {"data": 4, "model": 2}
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    t = threading.Thread(target=serve, args=(mesh_pred, "127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    for _ in range(50):
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=1) as r:
+                assert r.read() == b"ok"
+            break
+        except OSError:
+            time.sleep(0.1)
+
+    img = np.random.RandomState(7).randint(0, 255, (100, 120, 3),
+                                           dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")  # lossless: exact compare
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                 data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        payload = json.loads(r.read())
+    ref = predictor.predict([img])[0]
+    assert payload["label"] == ref["label"]
+    assert payload["zero_shot_label"] == ref["zero_shot_label"]
+
+
 def test_mesh_predictor_matches_single_device(predictor):
     """Data-parallel serving (use_mesh) must reproduce the single-device
     predictor exactly (8-device virtual CPU mesh)."""

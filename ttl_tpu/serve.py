@@ -473,6 +473,11 @@ def main(argv=None):
                    help="shard request batches over all chips (data-parallel"
                         " serving; sample_batch must be a multiple of the "
                         "data-axis size)")
+    p.add_argument("--mesh_shape", default=None,
+                   type=lambda s: tuple(int(x) for x in s.split(",")),
+                   help="explicit mesh shape, e.g. '4,2' for {data:4, "
+                        "model:2} (implies --mesh; default: all chips on "
+                        "the data axis)")
     p.add_argument("--prefix_quant", default="none",
                    choices=["none", "int8"],
                    help="int8-quantize the frozen vision prefix "
@@ -490,9 +495,10 @@ def main(argv=None):
                     checkpoint_path=args.checkpoint_path,
                     sample_batch=args.sample_batch,
                     test_sets=args.test_sets, canvas=args.canvas,
-                    prefix_quant=args.prefix_quant)
+                    prefix_quant=args.prefix_quant,
+                    mesh_shape=args.mesh_shape)
     predictor = TTLPredictor(resolve_classnames(args.test_sets), cfg,
-                             use_mesh=args.mesh)
+                             use_mesh=args.mesh or args.mesh_shape is not None)
     serve(predictor, args.host, args.port, max_delay_ms=args.max_delay_ms,
           max_queue=args.max_queue)
 
