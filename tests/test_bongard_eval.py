@@ -79,3 +79,81 @@ def test_bongard_through_runner(bongard_ds):
     assert "bongard" in results
     assert 0.0 <= results["bongard"][0] <= 100.0
     assert results["bongard"][1] == 100.0  # 2-way task: top-5 is trivial
+
+
+def test_bongard_prototype_matches_torch_oracle(bongard_ds, model):
+    """Torch-side oracle for the tta_steps=0 prototype classifier.
+
+    The driver is novel (the reference ships the dataset but no eval,
+    SURVEY.md component 21), so unlike TTL/TPT it has no upstream to diff
+    against; this pins its math the same way test_composite_oracle pins the
+    episodic step: identical weights + identical eval views -> an independent
+    torch reimplementation of the WHOLE prototype path (frozen tower forward,
+    L2 normalize, per-polarity mean, re-normalize, scaled cosine logits) must
+    reproduce the JAX driver's logits, predictions, and episode accuracy.
+    """
+    import torch
+    from test_composite_oracle import TorchTinyVit
+
+    from ttl_tpu.adapt.bongard import make_support_encoder
+    from ttl_tpu.data.views import load_canvas
+    from ttl_tpu.ops.image import preprocess_center
+
+    import jax.numpy as jnp
+
+    params, adapters0 = model
+    cfg = CFG.replace(tta_steps=0)
+    encode = make_support_encoder(TEST_TINY, cfg)
+    # B=0 xavier adapters -> the torch tower's LoRA contribution is zero,
+    # i.e. the frozen tower evaluate_bongard uses for prototypes/queries
+    vit = TorchTinyVit(params["vision"], adapters0, cfg, window=(2, 3))
+    ls = float(np.exp(np.asarray(params["logit_scale"], np.float32)))
+
+    total = correct = 0
+    for ei in range(len(bongard_ds)):
+        ep = bongard_ds[ei]
+        paths = list(ep.support_paths) + list(ep.query_paths)
+        canv = np.zeros((len(paths), 512, 512, 3), np.uint8)
+        hs = np.zeros((len(paths),), np.int32)
+        ws = np.zeros((len(paths),), np.int32)
+        for k, p in enumerate(paths):
+            canv[k], hs[k], ws[k] = load_canvas(p, 512)
+        n_sup = len(ep.support_paths)
+        labels = np.asarray(ep.support_labels)
+
+        # --- JAX driver math (exactly evaluate_bongard's tta_steps=0 body)
+        feats = encode(params, jnp.asarray(canv[:n_sup]),
+                       jnp.asarray(hs[:n_sup]), jnp.asarray(ws[:n_sup]))
+        from ttl_tpu.models.clip import l2_normalize
+        protos = jnp.stack([
+            l2_normalize(jnp.mean(feats[labels == c], axis=0))
+            for c in (0, 1)])
+        qf = encode(params, jnp.asarray(canv[n_sup:]),
+                    jnp.asarray(hs[n_sup:]), jnp.asarray(ws[n_sup:]))
+        jax_logits = np.asarray(jnp.exp(params["logit_scale"]) * qf
+                                @ protos.T, np.float32)
+
+        # --- torch oracle on the same deterministic eval views
+        views = np.stack([
+            np.asarray(preprocess_center(jnp.asarray(canv[k]), hs[k], ws[k],
+                                         cfg.resolution))
+            for k in range(len(paths))])
+        with torch.no_grad():
+            f = vit(torch.from_numpy(views))
+            f = f / f.norm(dim=-1, keepdim=True)
+            sup = f[:n_sup]
+            pt = torch.stack([sup[torch.from_numpy(labels) == c].mean(0)
+                              for c in (0, 1)])
+            pt = pt / pt.norm(dim=-1, keepdim=True)
+            torch_logits = (ls * f[n_sup:] @ pt.T).numpy()
+
+        np.testing.assert_allclose(jax_logits, torch_logits,
+                                   rtol=2e-4, atol=2e-4)
+        jax_pred = jax_logits.argmax(-1)
+        np.testing.assert_array_equal(jax_pred, torch_logits.argmax(-1))
+        correct += int((jax_pred == np.asarray(ep.query_labels)).sum())
+        total += len(ep.query_paths)
+
+    # and the end-to-end driver reports exactly the oracle's accuracy
+    acc = evaluate_bongard(cfg, bongard_ds, TEST_TINY, params, adapters0)
+    np.testing.assert_allclose(acc, 100.0 * correct / total, atol=1e-6)
