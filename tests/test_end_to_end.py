@@ -107,6 +107,18 @@ def test_auto_canvas_matches_default_canvas():
     assert auto["eurosat"] == full["eurosat"]
 
 
+def test_upload_overlap_does_not_change_results(monkeypatch):
+    """TTL_UPLOAD_OVERLAP moves the batch device_put into the loader's
+    prefetch thread (pure transfer/compute scheduling); results must be
+    bit-identical with it on (default) and off."""
+    ds = make_synthetic_dataset()
+    monkeypatch.setenv("TTL_UPLOAD_OVERLAP", "1")
+    on = run(CFG, datasets={"eurosat": ds})
+    monkeypatch.setenv("TTL_UPLOAD_OVERLAP", "0")
+    off = run(CFG, datasets={"eurosat": ds})
+    assert on["eurosat"] == off["eurosat"]
+
+
 def test_pipeline_depth_does_not_change_results():
     """--pipeline_depth only changes dispatch/fetch overlap; accuracy must
     be identical at any depth (and depth<1 is clamped to serial)."""

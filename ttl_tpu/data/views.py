@@ -79,8 +79,15 @@ class SampleLoader:
                  seed: int = 0, canvas: int = DEFAULT_CANVAS,
                  max_samples: Optional[int] = None, prefetch: int = 4,
                  shard: Optional[Tuple[int, int]] = None,
-                 workers: int = 4, total_batches: Optional[int] = None):
+                 workers: int = 4, total_batches: Optional[int] = None,
+                 transform=None):
         self.dataset = dataset
+        # applied to each SampleBatch INSIDE the prefetch thread before it
+        # is queued - the runner uses this to jax.device_put batches so the
+        # ~6-8 MB host->device canvas upload overlaps device compute
+        # instead of riding the dispatch path (upload-bound programs:
+        # ViT-B/32, COMPONENTS.md). Exceptions propagate like decode errors.
+        self.transform = transform
         self.batch_size = batch_size
         self.canvas = canvas
         order = np.arange(len(dataset))
@@ -164,11 +171,13 @@ class SampleLoader:
         failure = []
 
         def worker():
+            tf = self.transform or (lambda b: b)
             try:
                 for s in range(0, len(self.order), self.batch_size):
-                    q.put(self._make_batch(self.order[s: s + self.batch_size]))
+                    q.put(tf(self._make_batch(
+                        self.order[s: s + self.batch_size])))
                 for _ in range(self.total_batches - self._own_batches):
-                    q.put(self._make_batch([]))  # all-padding filler batch
+                    q.put(tf(self._make_batch([])))  # all-padding filler
             except BaseException as e:  # surface decode errors to the caller
                 failure.append(e)
             finally:
