@@ -132,6 +132,18 @@ def _attention(q, k, v, heads: int, causal: bool):
 
     q, k, v = split(q), split(k), split(v)
     mode = fa.fused_mode()
+    if mode == "heads" and not fa.heads_mode_fits(heads, s, hd,
+                                                  q.dtype.itemsize):
+        # e.g. ViT-L: 16 heads x 272^2 f32 scores exceed scoped VMEM -
+        # the kernel would die with an opaque XLA compile error. Degrade
+        # to the per-head grid, which always fits at these lengths.
+        import warnings
+        warnings.warn(
+            f"TTL_FUSED_ATTENTION=heads does not fit scoped VMEM at "
+            f"[{heads} heads, {s} tokens, {hd} head_dim]; falling back "
+            "to the per_head kernel (PERF_NOTES 'Attention kernels at "
+            "ViT-L shapes')", stacklevel=2)
+        mode = "per_head"
     if mode == "per_head":
         out = fa.attention(q, k, v, causal)
     elif mode == "heads":

@@ -278,6 +278,25 @@ def _heads_call(kernel, n_out, q, k, v, extra=()):
     return tuple(t[:, :, :s] for t in out)
 
 
+def heads_mode_fits(heads: int, s: int, head_dim: int,
+                    itemsize: int = 2) -> bool:
+    """Static check: does the heads-batched kernel's per-program footprint
+    fit TPU scoped VMEM (~16 MB)?
+
+    The backward program is the binding one: 4 input + 3 output blocks of
+    [H, Sp, D] (double-buffered by the pipeline) plus the two [H, Sp, Sp]
+    f32 score/prob blocks on the kernel stack. The model reproduces the
+    measured numbers: ViT-L (16 heads, Sp 272) estimates 16.5 MB vs the
+    actual 17.18 MB scoped alloc that XLA rejected against its 16 MB limit
+    ("Ran out of memory in memory space vmem" at compile); ViT-B (12
+    heads, Sp 208) estimates 8.6 MB and compiles fine. Callers must fall
+    back (models.clip._attention drops to per_head with a warning)."""
+    sp = _round_up(s, 16)
+    blocks = 2 * 7 * heads * sp * head_dim * itemsize
+    scores = 2 * heads * sp * sp * 4
+    return blocks + scores < 14 * 1024 * 1024  # 2 MB safety margin
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def attention_heads(q, k, v, causal: bool = False):
     """Differentiable heads-batched fused attention: [B, H, S, D] ->
