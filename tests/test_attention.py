@@ -102,11 +102,75 @@ def test_heads_batched_vjp_matches_reference(causal):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("shape,causal", [
+    ((2, 4, 197, 64), False),   # ViT-B/16 image sequence geometry
+    ((2, 4, 77, 32), True),     # text sequence, causal
+    ((1, 3, 16, 64), False),    # already tile-aligned
+])
+def test_bshd_fused_forward_matches_reference(shape, causal):
+    """attention_bshd_fused (layout-native [B,S,H*D] kernel, grid over B,
+    in-kernel per-head lane slices, TTL_FUSED_ATTENTION=bshd) == einsum
+    reference."""
+    b, h, s, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.float32) for kk in ks)
+    ref = fa.reference_attention(q, k, v, causal)
+
+    def flat(t):  # BHSD -> the towers' native [B, S, H*D]
+        return t.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+    out = fa.attention_bshd_fused(flat(q), flat(k), flat(v), h, causal)
+    out = out.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bshd_fused_vjp_matches_reference(causal):
+    b, h, s, d = 2, 2, 37, 32  # odd length exercises padding in the backward
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32) for kk in ks)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.sin(fa.attention_bshd_fused(q, k, v, h, causal)))
+
+    def loss_ref(q, k, v):
+        def split(t):
+            return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        o = fa.reference_attention(split(q), split(k), split(v), causal)
+        return jnp.sum(jnp.sin(o.transpose(0, 2, 1, 3).reshape(b, s, h * d)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_bshd_fused_tower_routing(monkeypatch):
+    """models.clip._attention with TTL_FUSED_ATTENTION=bshd takes the
+    no-transpose path and matches the default einsum route at f32."""
+    from ttl_tpu.models.clip import _attention
+
+    key = jax.random.PRNGKey(8)
+    q, k, v = (jax.random.normal(k_, (2, 50, 512), jnp.float32)
+               for k_ in jax.random.split(key, 3))
+    fa.fused_mode.cache_clear()
+    monkeypatch.setenv("TTL_FUSED_ATTENTION", "")
+    ref = _attention(q, k, v, heads=8, causal=False)
+    fa.fused_mode.cache_clear()
+    monkeypatch.setenv("TTL_FUSED_ATTENTION", "bshd")
+    out = _attention(q, k, v, heads=8, causal=False)
+    fa.fused_mode.cache_clear()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_mode_env_dispatch(monkeypatch):
     """TTL_FUSED_ATTENTION values -> kernel selection (lru_cache cleared)."""
     for env, want in [("", ""), ("1", "per_head"), ("true", "per_head"),
                       ("per_head", "per_head"), ("heads", "heads"),
-                      ("0", "")]:
+                      ("bshd", "bshd"), ("0", "")]:
         fa.fused_mode.cache_clear()
         monkeypatch.setenv("TTL_FUSED_ATTENTION", env)
         assert fa.fused_mode() == want, env

@@ -119,19 +119,24 @@ def _attention(q, k, v, heads: int, causal: bool):
     Pallas fused kernel when TTL_FUSED_ATTENTION=1 and the einsum
     formulation otherwise - identical numerics at f32; in bf16 the default
     einsum path stores scores bf16 (ops/attention._scores_dtype_low) while
-    the kernel keeps them f32 in VMEM. (A BSHD-layout variant avoiding the
-    physical head transposes measured neutral on-chip: XLA inserts
-    equivalent copies for the einsum layouts - see PERF_NOTES.md round 2.)"""
+    the kernel keeps them f32 in VMEM. (A BSHD-layout *einsum* variant
+    avoiding the physical head transposes measured neutral on-chip: XLA
+    inserts equivalent copies for the einsum layouts - see PERF_NOTES.md
+    round 2. TTL_FUSED_ATTENTION=bshd is the r5 *kernel* in that layout:
+    it consumes [B,S,H*D] in place, so no transposes exist to insert.)"""
     from ..ops import attention as fa
 
     b, s, d = q.shape
     hd = d // heads
+    mode = fa.fused_mode()
+    if mode == "bshd":
+        # Layout-native kernel: no head split, no physical transposes.
+        return fa.attention_bshd_fused(q, k, v, heads, causal)
 
     def split(t):
         return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = split(q), split(k), split(v)
-    mode = fa.fused_mode()
     if mode == "heads" and not fa.heads_mode_fits(heads, s, hd,
                                                   q.dtype.itemsize):
         # e.g. ViT-L: 16 heads x 272^2 f32 scores exceed scoped VMEM -

@@ -54,6 +54,8 @@ def fused_mode() -> str:
         return "per_head"
     if v == "heads":
         return "heads"
+    if v == "bshd":
+        return "bshd"
     return ""
 
 
@@ -320,6 +322,149 @@ def _attention_heads_bwd(causal, res, do):
 
 
 attention_heads.defvjp(_attention_heads_fwd, _attention_heads_bwd)
+
+
+# --------------------------------------------- bshd layout-native grid (r5)
+#
+# Both earlier kernels lose for layout reasons the math never sees:
+#   * per_head/heads demand a literal [B, H, S, D] array, so XLA has to
+#     materialize physical HBM transposes of q/k/v/o around every
+#     pallas_call (~270 MB per tensor per layer at the benched ViT-L
+#     batch) — the dominant term of per_head's measured 27% loss.
+#   * heads materializes the all-heads [H, Sp, Sp] f32 score block in one
+#     program: 17.18 MB scoped VMEM at ViT-L, over the 16 MB limit.
+# This grid fixes both at once: it consumes the towers' native
+# [B, S, H*D] layout directly (every DMA contiguous, zero transposes),
+# grids over batch only, and loops over heads INSIDE the kernel with
+# static lane slices — so exactly one head's [Sp, Sp] f32 score block is
+# ever live (~300 KB at ViT-L). Numerics match the f32-score reference
+# path exactly: f32 scores in VMEM, f32 softmax, bf16 A@V with f32
+# accumulation. Opt-in via TTL_FUSED_ATTENTION=bshd; tools/attn_floor.py
+# and tools/vitl_ceiling.py measure it against the XLA einsum default.
+
+
+def _bshd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, seq_len: int,
+                 scale: float, causal: bool):
+    q = q_ref[0]                     # [Sp, H*D] — native layout, no DMA tricks
+    k = k_ref[0]
+    v = v_ref[0]
+    sp, hd = q.shape
+    d = hd // heads
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    mask = kpos < seq_len
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+        mask = mask & (kpos <= qpos)
+    outs = []
+    for h in range(heads):           # unrolled; one head's scores live at a time
+        sl = slice(h * d, (h + 1) * d)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [Sp, Sp] f32
+        scores = jnp.where(mask, scores, jnp.float32(-1e9))
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        outs.append(jax.lax.dot_general(
+            w, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _bshd_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                     heads: int, seq_len: int, scale: float, causal: bool):
+    """Recompute-softmax backward in the native layout; same VJP algebra as
+    _attn_bwd_kernel, per head under the unrolled loop."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    sp, hd = q.shape
+    d = hd // heads
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    mask = kpos < seq_len
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+        mask = mask & (kpos <= qpos)
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        doh = do[:, sl].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask, scores, jnp.float32(-1e9))
+        w = jax.nn.softmax(scores, axis=-1)
+        dvs.append(jax.lax.dot_general(
+            w.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dw = jax.lax.dot_general(
+            doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+        ds = jnp.where(mask, ds, 0.0) * scale
+        dqs.append(jax.lax.dot_general(
+            ds, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(
+            ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+
+
+def _bshd_call(kernel, n_out, q, k, v, extra=()):
+    """Shared pallas_call plumbing for the bshd grid: inputs [B, S, H*D],
+    grid (B,), seq padded to the sublane multiple, contiguous blocks."""
+    b, s, hd = q.shape
+    sp = _round_up(s, 16)
+    pad = [(0, 0), (0, sp - s), (0, 0)]
+
+    def prep(t):
+        return jnp.pad(t, pad)
+
+    spec = pl.BlockSpec((1, sp, hd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, sp, hd), q.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec] * (3 + len(extra)),
+        out_specs=spec if n_out == 1 else (spec,) * n_out,
+        out_shape=shape if n_out == 1 else (shape,) * n_out,
+        interpret=_interpret(),
+    )(prep(q), prep(k), prep(v), *(prep(t) for t in extra))
+    if n_out == 1:
+        return out[:, :s]
+    return tuple(t[:, :s] for t in out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def attention_bshd_fused(q, k, v, heads: int, causal: bool = False):
+    """Differentiable layout-native fused attention: [B, S, H*D] ->
+    [B, S, H*D] with the head split done by static lane slices inside the
+    kernel (TTL_FUSED_ATTENTION=bshd). Padded key positions masked to
+    -inf; padded query rows sliced off."""
+    d = q.shape[-1] // heads
+    kernel = functools.partial(_bshd_kernel, heads=heads, seq_len=q.shape[1],
+                               scale=1.0 / math.sqrt(d), causal=causal)
+    return _bshd_call(kernel, 1, q, k, v)
+
+
+def _attention_bshd_fwd(q, k, v, heads, causal):
+    return attention_bshd_fused(q, k, v, heads, causal), (q, k, v)
+
+
+def _attention_bshd_bwd(heads, causal, res, do):
+    q, k, v = res
+    d = q.shape[-1] // heads
+    kernel = functools.partial(_bshd_bwd_kernel, heads=heads,
+                               seq_len=q.shape[1],
+                               scale=1.0 / math.sqrt(d), causal=causal)
+    return _bshd_call(kernel, 3, q, k, v, extra=(do,))
+
+
+attention_bshd_fused.defvjp(_attention_bshd_fwd, _attention_bshd_bwd)
 
 
 def _scores_dtype_low() -> bool:
