@@ -95,8 +95,9 @@ def main():
         jax.config.update("jax_platforms", os.environ["TTL_BENCH_PLATFORM"])
     import jax.numpy as jnp
 
-    from ttl_tpu.ops.attention import (attention_bshd, attention_heads,
-                                       fused_attention, reference_attention)
+    from ttl_tpu.ops.attention import (attention_bshd, attention_bshd_fused,
+                                       attention_heads, fused_attention,
+                                       reference_attention)
     from ttl_tpu.utils.jaxcache import enable_compilation_cache, \
         honor_platform_env
     if not os.environ.get("TTL_BENCH_PLATFORM"):
@@ -113,9 +114,13 @@ def main():
         q = jax.random.normal(kq, shape, jnp.bfloat16)
         k = jax.random.normal(kk, shape, jnp.bfloat16)
         v = jax.random.normal(kv, shape, jnp.bfloat16)
-        # bshd layout for the tower's in-place-head variant
+        # bshd layout for the tower's in-place-head variants
         qs, ks, vs = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        # the towers' native flat layout for the r5 layout-native kernel
+        qf, kf, vf = (t.reshape(b, args.s, args.h * args.d)
+                      for t in (qs, ks, vs))
 
+        heads = args.h
         variants = {
             "xla_bhsd": (reference_attention, (q, k, v)),
             "xla_bshd": (attention_bshd, (qs, ks, vs)),
@@ -123,6 +128,9 @@ def main():
                 lambda a, b_, c: fused_attention(a, b_, c), (q, k, v)),
             "pallas_heads_batched": (
                 lambda a, b_, c: attention_heads(a, b_, c), (q, k, v)),
+            "pallas_bshd_native": (
+                lambda a, b_, c: attention_bshd_fused(a, b_, c, heads),
+                (qf, kf, vf)),
         }
         table = {
             "b": b, "batch_heads": b * args.h,
