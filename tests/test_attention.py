@@ -167,16 +167,69 @@ def test_bshd_fused_tower_routing(monkeypatch):
 
 
 def test_fused_mode_env_dispatch(monkeypatch):
-    """TTL_FUSED_ATTENTION values -> kernel selection (lru_cache cleared)."""
+    """TTL_FUSED_ATTENTION values -> kernel selection (lru_cache cleared).
+    On the CPU test backend the auto default resolves to the einsum path."""
     for env, want in [("", ""), ("1", "per_head"), ("true", "per_head"),
                       ("per_head", "per_head"), ("heads", "heads"),
-                      ("bshd", "bshd"), ("0", "")]:
+                      ("bshd", "bshd"), ("0", ""), ("off", ""), ("xla", ""),
+                      ("einsum", "")]:
         fa.fused_mode.cache_clear()
         monkeypatch.setenv("TTL_FUSED_ATTENTION", env)
         assert fa.fused_mode() == want, env
         assert fa.use_fused() == bool(want), env
     fa.fused_mode.cache_clear()
     monkeypatch.delenv("TTL_FUSED_ATTENTION")
+
+
+def test_bshd_bwd_concat_fit_predicate():
+    """The backward-form chooser classifies the shipped arches: ViT-B
+    vision and all text towers take the faster all-heads-concat backward;
+    ViT-L vision (measured 19.27 MB scoped VMEM for the concat form, over
+    the 16 MB limit) takes per-head lane-slice writes."""
+    assert fa.bshd_bwd_concat_fits(12, 197, 64)      # ViT-B/16 vision
+    assert fa.bshd_bwd_concat_fits(12, 50, 64)       # ViT-B/32 vision
+    assert fa.bshd_bwd_concat_fits(8, 77, 64)        # ViT-B text
+    assert fa.bshd_bwd_concat_fits(12, 77, 64)       # ViT-L text
+    assert not fa.bshd_bwd_concat_fits(16, 257, 64)  # ViT-L/14 vision
+
+
+@pytest.mark.parametrize("slice_writes", [False, True])
+def test_bshd_bwd_both_forms_match_reference(slice_writes):
+    """Both backward forms (all-heads concat / per-head lane-slice writes)
+    produce the same gradients as the einsum reference."""
+    import functools as ft
+    import math as m
+
+    b, h, s, d = 2, 2, 37, 32
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    q, k, v, do = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
+                   for kk in ks)
+    kernel = ft.partial(fa._bshd_bwd_kernel, heads=h, seq_len=s,
+                        scale=1.0 / m.sqrt(d), causal=False,
+                        slice_writes=slice_writes)
+    dq, dk, dv = fa._bshd_call(kernel, 3, q, k, v, extra=(do,))
+
+    def split(t):
+        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    def loss(q, k, v):
+        o = fa.reference_attention(split(q), split(k), split(v), False)
+        return jnp.sum(o.transpose(0, 2, 1, 3).reshape(b, s, h * d) * do)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip((dq, dk, dv), g, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_default_mode_gating():
+    """The auto default routes to the bshd kernel exactly on a single real
+    TPU chip: CPU (tests, virtual meshes, the driver dryrun) and multi-chip
+    (pallas_call has no GSPMD partitioning rule) stay on the XLA einsum."""
+    assert fa._default_mode("tpu", 1) == "bshd"
+    assert fa._default_mode("cpu", 1) == ""
+    assert fa._default_mode("cpu", 8) == ""
+    assert fa._default_mode("tpu", 8) == ""
 
 
 def test_heads_mode_vmem_guard():

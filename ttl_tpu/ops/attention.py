@@ -33,21 +33,39 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _default_mode(backend: str, n_devices: int) -> str:
+    """The auto default when TTL_FUSED_ATTENTION is unset: the layout-native
+    bshd kernel on a single real TPU chip, XLA einsum everywhere else.
+
+    bshd measured +16% busy / +15% wall on the full benched ViT-B/16 TTL
+    step (228.7 vs 265.8 ms/step busy, same relay window) and is the first
+    kernel to beat the XLA einsum at CLIP lengths — by consuming the
+    towers' native [B,S,H*D] layout it pays neither the HBM transposes nor
+    the score round-trip (PERF_NOTES 'bshd', round 5). CPU stays on einsum
+    (interpret-mode Pallas is orders slower; tests and the driver's virtual
+    meshes live there), and multi-device stays on einsum because pallas_call
+    has no GSPMD partitioning rule — under pjit it would force gathers."""
+    return "bshd" if (backend == "tpu" and n_devices == 1) else ""
+
+
 @functools.lru_cache()
 def fused_mode() -> str:
-    """Which Pallas kernel (if any) the towers route attention through.
+    """Which kernel the towers route attention through.
 
-    '' (default): XLA's batched-GEMM einsum attention - measured winner on
-    v5e at ViT-B shapes (64x12 heads, seq 197): the per-(batch*head) kernel
-    grid is ~30% slower; G-instances-per-program and in-kernel batched-dot
-    reformulations narrowed that to ~15% but still lose - at this sequence
-    length XLA's batching wins over avoiding the HBM score round-trip.
+    unset/'auto' (default): _default_mode — the bshd Pallas kernel on a
+    single TPU chip (measured winner, round 5), XLA's batched-GEMM einsum
+    otherwise. '0'|'off'|'xla'|'einsum': force the XLA einsum everywhere.
+    'bshd' (TTL_FUSED_ATTENTION=bshd): force the layout-native kernel —
+    one batch element per program in the native [B,S,H*D] layout, heads
+    unrolled in-kernel so a single [Sp,Sp] f32 score block is live.
     'per_head' (TTL_FUSED_ATTENTION=1|true|per_head): the original
-    one-(batch*head)-per-program kernel. 'heads'
-    (TTL_FUSED_ATTENTION=heads): the heads-batched grid - one batch element
-    per program, all H heads as in-kernel batched dots, amortizing grid
-    overhead 12x (the r4 candidate; tools/attn_floor.py measures all
-    three). Every kernel is numerically exact (f32 scores in VMEM)."""
+    one-(batch*head)-per-program kernel — loses ~30% at ViT-B (grid
+    overhead) and 27% at ViT-L (physical [B,H,S,D] HBM transposes).
+    'heads' (TTL_FUSED_ATTENTION=heads): the r4 heads-batched grid —
+    amortizes grid overhead 12x but materializes all heads' scores
+    (exceeds scoped VMEM at ViT-L; see heads_mode_fits).
+    tools/attn_floor.py measures all of them. Every kernel is numerically
+    exact (f32 scores in VMEM)."""
     import os
     v = os.environ.get("TTL_FUSED_ATTENTION", "")
     if v in ("1", "true", "True", "per_head"):
@@ -56,7 +74,9 @@ def fused_mode() -> str:
         return "heads"
     if v == "bshd":
         return "bshd"
-    return ""
+    if v in ("0", "off", "xla", "einsum"):
+        return ""
+    return _default_mode(jax.default_backend(), jax.device_count())
 
 
 def use_fused() -> bool:
@@ -363,16 +383,47 @@ def _bshd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, seq_len: int,
             preferred_element_type=jnp.float32) * scale   # [Sp, Sp] f32
         scores = jnp.where(mask, scores, jnp.float32(-1e9))
         w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        # bf16 partials + one concat: the all-heads buffer is only
+        # [Sp, H*D] bf16 (~0.5 MB at ViT-L), well inside scoped VMEM; the
+        # backward, whose f32 partials would not fit, writes lane slices
+        # per head instead (see _bshd_bwd_kernel)
         outs.append(jax.lax.dot_general(
             w, v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+def bshd_bwd_concat_fits(heads: int, s: int, head_dim: int,
+                         itemsize: int = 2) -> bool:
+    """Static check: can the bshd backward accumulate all heads' partials
+    and concat once (the faster form, measured +2.6% busy at ViT-B), or
+    must it write per-head lane slices (the VMEM-lean form)?
+
+    Anchored on the two measured points: ViT-B (12 heads, Sp 208) concat
+    backward compiled and ran; ViT-L (16 heads, Sp 272) concat backward
+    was rejected at 19.27 MB scoped vs the 16 MB limit. The model below
+    scales the same terms (7 double-buffered io blocks, all-heads bf16
+    partials, ~4 f32 [Sp,Sp] scratch blocks) by the ViT-L-calibrated
+    factor so ViT-B passes with margin and ViT-L fails with margin."""
+    sp = _round_up(s, 16)
+    hd = heads * head_dim
+    io = 2 * 7 * sp * hd * itemsize                  # double-buffered blocks
+    partials = 3 * heads * sp * head_dim * itemsize  # bf16 partial lists
+    scratch = 4 * sp * sp * 4                        # scores/w/dw/ds f32
+    est = (io + partials + scratch) * 1.6            # Mosaic stack slop
+    return est < 14 * 1024 * 1024
 
 
 def _bshd_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                     heads: int, seq_len: int, scale: float, causal: bool):
+                     heads: int, seq_len: int, scale: float, causal: bool,
+                     slice_writes: bool):
     """Recompute-softmax backward in the native layout; same VJP algebra as
-    _attn_bwd_kernel, per head under the unrolled loop."""
+    _attn_bwd_kernel, per head under the unrolled loop. With slice_writes
+    each head's dq/dk/dv land directly in the output refs' lane slices —
+    keeps the live set to one head where the all-heads partial buffers
+    would exceed scoped VMEM (ViT-L: 19.27 MB vs the 16 MB limit) at the
+    cost of Mosaic masked stores (measured ~2.6% busy at ViT-B, where the
+    concat form therefore stays)."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -394,23 +445,32 @@ def _bshd_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
             preferred_element_type=jnp.float32) * scale
         scores = jnp.where(mask, scores, jnp.float32(-1e9))
         w = jax.nn.softmax(scores, axis=-1)
-        dvs.append(jax.lax.dot_general(
+        dvh = jax.lax.dot_general(
             w.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
         dw = jax.lax.dot_general(
             doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
         ds = jnp.where(mask, ds, 0.0) * scale
-        dqs.append(jax.lax.dot_general(
+        dqh = jax.lax.dot_general(
             ds, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        dks.append(jax.lax.dot_general(
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dkh = jax.lax.dot_general(
             ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
-    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        if slice_writes:
+            dq_ref[0, :, sl] = dqh
+            dk_ref[0, :, sl] = dkh
+            dv_ref[0, :, sl] = dvh
+        else:
+            dqs.append(dqh)
+            dks.append(dkh)
+            dvs.append(dvh)
+    if not slice_writes:
+        dq_ref[0] = jnp.concatenate(dqs, axis=1)
+        dk_ref[0] = jnp.concatenate(dks, axis=1)
+        dv_ref[0] = jnp.concatenate(dvs, axis=1)
 
 
 def _bshd_call(kernel, n_out, q, k, v, extra=()):
@@ -458,9 +518,11 @@ def _attention_bshd_fwd(q, k, v, heads, causal):
 def _attention_bshd_bwd(heads, causal, res, do):
     q, k, v = res
     d = q.shape[-1] // heads
-    kernel = functools.partial(_bshd_bwd_kernel, heads=heads,
-                               seq_len=q.shape[1],
-                               scale=1.0 / math.sqrt(d), causal=causal)
+    kernel = functools.partial(
+        _bshd_bwd_kernel, heads=heads, seq_len=q.shape[1],
+        scale=1.0 / math.sqrt(d), causal=causal,
+        slice_writes=not bshd_bwd_concat_fits(heads, q.shape[1], d,
+                                              q.dtype.itemsize))
     return _bshd_call(kernel, 3, q, k, v, extra=(do,))
 
 
