@@ -222,6 +222,65 @@ def test_bshd_bwd_both_forms_match_reference(slice_writes):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_bshd_tower_level_padding_parity(monkeypatch):
+    """Under the bshd route the towers pad the token axis ONCE per forward
+    (models.clip._maybe_pad_tokens) and pass the true seq_len down to the
+    kernel. Features AND adaptation gradients must match the default route
+    at f32 on a padding-triggering geometry (test-tiny vision: 17 tokens ->
+    pads to 32; text ctx 77 -> 80)."""
+    import jax.numpy as jnp
+
+    from ttl_tpu.models import clip as jclip
+    from ttl_tpu.models.zoo import TEST_TINY
+    from ttl_tpu.ops.lora import init_adapters
+    from ttl_tpu.tokenizer.bpe import tokenize
+
+    params = jclip.init_clip_params(jax.random.PRNGKey(0), TEST_TINY,
+                                    param_dtype=jnp.float32)
+    views = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 64, 64),
+                              jnp.float32)
+    toks = jnp.asarray(tokenize(["a photo of a cat.", "a photo of a dog."]))
+    adapters = init_adapters(jax.random.PRNGKey(2), 2,
+                             TEST_TINY.vision.hidden, 4, "gaussian")
+
+    def run_all():
+        vf = jclip.vision_features(params["vision"], views, TEST_TINY.vision,
+                                   adapters=adapters, adapter_window=(2, 3),
+                                   compute_dtype=jnp.float32)
+        tf = jclip.text_features(params["text"], toks, TEST_TINY.text,
+                                 compute_dtype=jnp.float32)
+
+        def loss(ad):
+            out = jclip.vision_features(params["vision"], views,
+                                        TEST_TINY.vision, adapters=ad,
+                                        adapter_window=(2, 3),
+                                        compute_dtype=jnp.float32)
+            return jnp.sum(jnp.sin(out))
+
+        g = jax.grad(loss)(adapters)
+        return vf, tf, g
+
+    fa.fused_mode.cache_clear()
+    monkeypatch.setenv("TTL_FUSED_ATTENTION", "off")
+    ref = run_all()
+    fa.fused_mode.cache_clear()
+    monkeypatch.setenv("TTL_FUSED_ATTENTION", "bshd")
+    got = run_all()
+    fa.fused_mode.cache_clear()
+
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-5, err_msg="vision")
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=2e-4, atol=2e-5, err_msg="text")
+    for (ka, a), (kb, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(got[2]),
+            jax.tree_util.tree_leaves_with_path(ref[2])):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=1e-5,
+                                   err_msg=f"grad {ka}")
+
+
 def test_default_mode_gating():
     """The auto default routes to the bshd kernel exactly on a single real
     TPU chip: CPU (tests, virtual meshes, the driver dryrun) and multi-chip

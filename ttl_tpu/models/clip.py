@@ -114,7 +114,8 @@ def linear(x: jax.Array, p: Params) -> jax.Array:
     return y + p["b"].astype(x.dtype) if "b" in p else y
 
 
-def _attention(q, k, v, heads: int, causal: bool):
+def _attention(q, k, v, heads: int, causal: bool,
+               seq_len: Optional[int] = None):
     """[B,S,D] multi-head attention; softmax in f32. Routes through the
     Pallas fused kernel when TTL_FUSED_ATTENTION=1 and the einsum
     formulation otherwise - identical numerics at f32; in bf16 the default
@@ -131,7 +132,12 @@ def _attention(q, k, v, heads: int, causal: bool):
     mode = fa.fused_mode()
     if mode == "bshd":
         # Layout-native kernel: no head split, no physical transposes.
-        return fa.attention_bshd_fused(q, k, v, heads, causal)
+        # seq_len marks tower-level pre-padding (see _maybe_pad_tokens).
+        return fa.attention_bshd_fused(q, k, v, heads, causal, seq_len)
+    if seq_len is not None:
+        raise ValueError(
+            "pre-padded activations (seq_len set) require the bshd route; "
+            "the einsum/per_head/heads paths have no key masking")
 
     def split(t):
         return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
@@ -206,7 +212,8 @@ def fuse_qkv_params(tower: Params) -> Params:
 def encoder_layer(p: Params, x: jax.Array, *, heads: int, eps: float,
                   causal: bool,
                   lora: Optional[Params] = None,
-                  lora_scale: float = 2.0) -> jax.Array:
+                  lora_scale: float = 2.0,
+                  seq_len: Optional[int] = None) -> jax.Array:
     """Pre-LN transformer block with QuickGELU MLP (clip/model.py:167-222 /
     HF CLIPEncoderLayer). `lora` optionally injects rank-r updates into the
     q and v projections: q = x@Wq + (alpha/r) * (x@A_q)@B_q
@@ -236,7 +243,7 @@ def encoder_layer(p: Params, x: jax.Array, *, heads: int, eps: float,
             hf = h.astype(jnp.float32)
             q = q + (lora_scale * (hf @ lora["q"]["A"]) @ lora["q"]["B"]).astype(q.dtype)
             v = v + (lora_scale * (hf @ lora["v"]["A"]) @ lora["v"]["B"]).astype(v.dtype)
-    a = _attention(q, k, v, heads, causal)
+    a = _attention(q, k, v, heads, causal, seq_len)
     x = x + linear(a, p["attn"]["o"])
     h = layer_norm(x, p["ln2"], eps)
     x = x + linear(quick_gelu(linear(h, p["mlp"]["fc1"])), p["mlp"]["fc2"])
@@ -244,7 +251,8 @@ def encoder_layer(p: Params, x: jax.Array, *, heads: int, eps: float,
 
 
 def encoder_layer_q(pq: Params, x: jax.Array, *, heads: int, eps: float,
-                    causal: bool) -> jax.Array:
+                    causal: bool,
+                    seq_len: Optional[int] = None) -> jax.Array:
     """encoder_layer with int8 linears (ops/quant.py): used only for frozen
     prefix layers under stop_gradient, where the LoRA contribution is exactly
     zero and no gradient flows. Attention math and layernorms are unchanged."""
@@ -253,7 +261,7 @@ def encoder_layer_q(pq: Params, x: jax.Array, *, heads: int, eps: float,
     q = linear_q(h, pq["attn"]["q"])
     k = linear_q(h, pq["attn"]["k"])
     v = linear_q(h, pq["attn"]["v"])
-    a = _attention(q, k, v, heads, causal)
+    a = _attention(q, k, v, heads, causal, seq_len)
     x = x + linear_q(a, pq["attn"]["o"])
     h = layer_norm(x, pq["ln2"], eps)
     x = x + linear_q(quick_gelu(linear_q(h, pq["mlp"]["fc1"])),
@@ -271,7 +279,8 @@ def _layer_at(stacked: Params, i: int) -> Params:
 
 def _run_layers(stacked: Params, x: jax.Array, lo: int, hi: int, *,
                 heads: int, eps: float, causal: bool,
-                remat: bool = False) -> jax.Array:
+                remat: bool = False,
+                seq_len: Optional[int] = None) -> jax.Array:
     """Frozen layers [lo, hi) as a scan over stacked params.
 
     `remat=True` checkpoints each scanned layer: only the per-layer carry is
@@ -286,7 +295,7 @@ def _run_layers(stacked: Params, x: jax.Array, lo: int, hi: int, *,
 
     def body(h, layer_p):
         return encoder_layer(layer_p, h, heads=heads, eps=eps,
-                             causal=causal), None
+                             causal=causal, seq_len=seq_len), None
 
     x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x,
                         _slice_layers(stacked, lo, hi))
@@ -294,6 +303,33 @@ def _run_layers(stacked: Params, x: jax.Array, lo: int, hi: int, *,
 
 
 # -------------------------------------------------------------------- towers
+
+def _maybe_pad_tokens(x: jax.Array):
+    """Pad the token axis ONCE per tower forward (bshd route only).
+
+    The bshd kernel wrapper otherwise pads S to the sublane multiple and
+    slices back at every attention call — an HBM round-trip per layer per
+    direction measured at 13.3 ms/step (ViT-B) / 52 ms (ViT-L) of the
+    benched TTL step. Padding here instead lets the padded rows ride the
+    whole residual stream: every non-attention op is per-token so they
+    stay isolated, attention masks them as keys via seq_len, pooling
+    (cls token / EOT gather) never reads them, and their cotangents are
+    exactly zero so gradients of real tokens are untouched. Returns
+    (x_padded, true_seq_len) — or (x, None) when the route is not bshd
+    (the einsum paths have no key masking) or S is already aligned."""
+    from ..ops import attention as fa
+    s = x.shape[1]
+    sp = ((s + 15) // 16) * 16
+    if fa.fused_mode() != "bshd" or sp == s:
+        return x, None
+    return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))), s
+
+
+def _true_seq(x: jax.Array, true_len: int) -> Optional[int]:
+    """Recover the _maybe_pad_tokens marker for a cached hidden state:
+    None when x carries exactly true_len tokens (unpadded), else true_len."""
+    return None if x.shape[1] == true_len else true_len
+
 
 def vision_prefix(p: Params, images: jax.Array, cfg: VisionConfig, *,
                   upto: int, compute_dtype=jnp.bfloat16) -> jax.Array:
@@ -318,19 +354,21 @@ def vision_prefix(p: Params, images: jax.Array, cfg: VisionConfig, *,
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embed"].astype(compute_dtype)
     x = layer_norm(x, p["ln_pre"], cfg.ln_eps)
+    x, seq_len = _maybe_pad_tokens(x)
     qp = p.get("prefix_q")
     if qp is not None:
         nq = min(upto, qp["ln1"]["scale"].shape[0])
 
         def body_q(h, layer_q):
             return encoder_layer_q(layer_q, h, heads=cfg.heads,
-                                   eps=cfg.ln_eps, causal=False), None
+                                   eps=cfg.ln_eps, causal=False,
+                                   seq_len=seq_len), None
 
         x, _ = jax.lax.scan(body_q, x, _slice_layers(qp, 0, nq))
         return _run_layers(p["layers"], x, nq, upto, heads=cfg.heads,
-                           eps=cfg.ln_eps, causal=False)
+                           eps=cfg.ln_eps, causal=False, seq_len=seq_len)
     return _run_layers(p["layers"], x, 0, upto, heads=cfg.heads,
-                       eps=cfg.ln_eps, causal=False)
+                       eps=cfg.ln_eps, causal=False, seq_len=seq_len)
 
 
 def vision_from_hidden(p: Params, hidden: jax.Array, cfg: VisionConfig, *,
@@ -341,17 +379,19 @@ def vision_from_hidden(p: Params, hidden: jax.Array, cfg: VisionConfig, *,
     and project: the per-TTA-step remainder of the vision tower."""
     lo, hi = adapter_window
     x = hidden
+    seq_len = _true_seq(x, cfg.seq_len)  # cached prefix may be pre-padded
     if adapters is None:
         x = _run_layers(p["layers"], x, lo, cfg.layers, heads=cfg.heads,
-                        eps=cfg.ln_eps, causal=False)
+                        eps=cfg.ln_eps, causal=False, seq_len=seq_len)
     else:
         for i in range(lo, hi + 1):
             x = encoder_layer(_layer_at(p["layers"], i), x, heads=cfg.heads,
                               eps=cfg.ln_eps, causal=False,
                               lora=_layer_at(adapters, i - lo),
-                              lora_scale=lora_scale)
+                              lora_scale=lora_scale, seq_len=seq_len)
         x = _run_layers(p["layers"], x, hi + 1, cfg.layers, heads=cfg.heads,
-                        eps=cfg.ln_eps, causal=False, remat=True)
+                        eps=cfg.ln_eps, causal=False, remat=True,
+                        seq_len=seq_len)
     pooled = layer_norm(x[:, 0], p["ln_post"], cfg.ln_eps)
     return jnp.matmul(pooled.astype(jnp.float32),
                       p["proj"].astype(jnp.float32))
@@ -397,22 +437,24 @@ def text_features(p: Params, tokens: jax.Array, cfg: TextConfig, *,
     # compute (models/prompts.needed_ctx_len), so callers may pass a prefix
     x = p["token_embed"][tokens].astype(compute_dtype)
     x = x + p["pos_embed"][: x.shape[1]].astype(compute_dtype)
+    x, seq_len = _maybe_pad_tokens(x)
 
     lo, hi = adapter_window
     if adapters is None:
         x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
-                        eps=cfg.ln_eps, causal=True)
+                        eps=cfg.ln_eps, causal=True, seq_len=seq_len)
     else:
         x = jax.lax.stop_gradient(
             _run_layers(p["layers"], x, 0, lo, heads=cfg.heads,
-                        eps=cfg.ln_eps, causal=True))
+                        eps=cfg.ln_eps, causal=True, seq_len=seq_len))
         for i in range(lo, hi + 1):
             x = encoder_layer(_layer_at(p["layers"], i), x, heads=cfg.heads,
                               eps=cfg.ln_eps, causal=True,
                               lora=_layer_at(adapters, i - lo),
-                              lora_scale=lora_scale)
+                              lora_scale=lora_scale, seq_len=seq_len)
         x = _run_layers(p["layers"], x, hi + 1, cfg.layers, heads=cfg.heads,
-                        eps=cfg.ln_eps, causal=True, remat=True)
+                        eps=cfg.ln_eps, causal=True, remat=True,
+                        seq_len=seq_len)
 
     x = layer_norm(x, p["ln_final"], cfg.ln_eps)
     pooled = x[jnp.arange(x.shape[0]), jnp.argmax(tokens, axis=-1)]
@@ -453,8 +495,10 @@ def text_features_from_embeddings(p: Params, embeddings: jax.Array,
     """
     x = embeddings.astype(compute_dtype) \
         + p["pos_embed"][: embeddings.shape[1]].astype(compute_dtype)
+    x, seq_len = _maybe_pad_tokens(x)
     x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
-                    eps=cfg.ln_eps, causal=True, remat=remat)
+                    eps=cfg.ln_eps, causal=True, remat=remat,
+                    seq_len=seq_len)
     x = layer_norm(x, p["ln_final"], cfg.ln_eps)
     pooled = x[jnp.arange(x.shape[0]), jnp.argmax(tokens, axis=-1)]
     return jnp.matmul(pooled.astype(jnp.float32), p["proj"].astype(jnp.float32))
