@@ -223,11 +223,12 @@ def test_bshd_bwd_both_forms_match_reference(slice_writes):
 
 
 def test_bshd_tower_level_padding_parity(monkeypatch):
-    """Under the bshd route the towers pad the token axis ONCE per forward
-    (models.clip._maybe_pad_tokens) and pass the true seq_len down to the
-    kernel. Features AND adaptation gradients must match the default route
-    at f32 on a padding-triggering geometry (test-tiny vision: 17 tokens ->
-    pads to 32; text ctx 77 -> 80)."""
+    """Under the bshd route the vision tower pads the token axis ONCE per
+    forward (models.clip._maybe_pad_tokens) and passes the true seq_len
+    down to the kernel; text towers stay on the einsum (causal gate -
+    measured slower on the kernel at text shapes). Features AND adaptation
+    gradients must match the default route at f32 on a padding-triggering
+    geometry (test-tiny vision: 17 tokens -> pads to 32)."""
     import jax.numpy as jnp
 
     from ttl_tpu.models import clip as jclip

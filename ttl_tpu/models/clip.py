@@ -130,6 +130,13 @@ def _attention(q, k, v, heads: int, causal: bool,
     b, s, d = q.shape
     hd = d // heads
     mode = fa.fused_mode()
+    if mode == "bshd" and causal:
+        # Text towers stay on the einsum: at their shapes (77-80 tokens,
+        # 8-12 heads, class-count batch) the per-program kernel work is too
+        # small — the text-LoRA row measured 72.35 busy sps on the bshd
+        # route vs 80.99 on the einsum (BENCH_ARCHES r5), while every
+        # non-causal vision tower won (+2.4% ViT-B/32 .. +26% ViT-L).
+        mode = ""
     if mode == "bshd":
         # Layout-native kernel: no head split, no physical transposes.
         # seq_len marks tower-level pre-padding (see _maybe_pad_tokens).
@@ -304,7 +311,7 @@ def _run_layers(stacked: Params, x: jax.Array, lo: int, hi: int, *,
 
 # -------------------------------------------------------------------- towers
 
-def _maybe_pad_tokens(x: jax.Array):
+def _maybe_pad_tokens(x: jax.Array, causal: bool = False):
     """Pad the token axis ONCE per tower forward (bshd route only).
 
     The bshd kernel wrapper otherwise pads S to the sublane multiple and
@@ -316,11 +323,13 @@ def _maybe_pad_tokens(x: jax.Array):
     (cls token / EOT gather) never reads them, and their cotangents are
     exactly zero so gradients of real tokens are untouched. Returns
     (x_padded, true_seq_len) — or (x, None) when the route is not bshd
-    (the einsum paths have no key masking) or S is already aligned."""
+    (the einsum paths have no key masking), the tower is causal (text
+    towers stay on the einsum — see _attention), or S is already
+    aligned."""
     from ..ops import attention as fa
     s = x.shape[1]
     sp = ((s + 15) // 16) * 16
-    if fa.fused_mode() != "bshd" or sp == s:
+    if causal or fa.fused_mode() != "bshd" or sp == s:
         return x, None
     return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))), s
 
@@ -437,7 +446,7 @@ def text_features(p: Params, tokens: jax.Array, cfg: TextConfig, *,
     # compute (models/prompts.needed_ctx_len), so callers may pass a prefix
     x = p["token_embed"][tokens].astype(compute_dtype)
     x = x + p["pos_embed"][: x.shape[1]].astype(compute_dtype)
-    x, seq_len = _maybe_pad_tokens(x)
+    x, seq_len = _maybe_pad_tokens(x, causal=True)
 
     lo, hi = adapter_window
     if adapters is None:
@@ -495,7 +504,7 @@ def text_features_from_embeddings(p: Params, embeddings: jax.Array,
     """
     x = embeddings.astype(compute_dtype) \
         + p["pos_embed"][: embeddings.shape[1]].astype(compute_dtype)
-    x, seq_len = _maybe_pad_tokens(x)
+    x, seq_len = _maybe_pad_tokens(x, causal=True)
     x = _run_layers(p["layers"], x, 0, cfg.layers, heads=cfg.heads,
                     eps=cfg.ln_eps, causal=True, remat=remat,
                     seq_len=seq_len)
