@@ -181,3 +181,59 @@ def test_lora_compute_mixed_close_to_f32(setup, monkeypatch):
         params, text_cls, adapters0, canv, hs, ws, idxs)
     np.testing.assert_allclose(np.asarray(mixed.logits),
                                np.asarray(ref.logits), rtol=0.05, atol=0.05)
+
+
+def test_fused_sharded_bshd_kernel_matches_single(setup, monkeypatch):
+    """Data-only meshes route the bshd Pallas kernel through jax.shard_map
+    (adapt.ttl._jit_fused): each device runs the measured single-chip
+    program verbatim, which is what lets pallas_call — no GSPMD
+    partitioning rule — stay on the multi-chip hot path. Forward AND the
+    adaptation backward run in-kernel here (interpret mode on CPU); the
+    sharded logits must match the single-device einsum run."""
+    from ttl_tpu.ops import attention as fa
+    params, text_cls, adapters0, canv, hs, ws, idxs = setup
+    single = make_fused_ttl_fn(TEST_TINY, CFG)(
+        params, text_cls, adapters0, canv, hs, ws, idxs)
+
+    monkeypatch.setenv("TTL_FUSED_ATTENTION", "bshd")
+    fa.fused_mode.cache_clear()
+    try:
+        mesh = make_mesh((8,))
+        assert fa.mesh_kernel_mode(True) == "bshd"
+        fn = make_fused_ttl_fn(TEST_TINY, CFG, mesh=mesh,
+                               n_classes=len(CLASSNAMES))
+        sh = fn(*replicate((params, text_cls, adapters0), mesh),
+                *shard_batch((canv, hs, ws, idxs), mesh))
+        assert "data" in str(sh.logits.sharding.spec)
+        np.testing.assert_allclose(np.asarray(sh.logits),
+                                   np.asarray(single.logits),
+                                   rtol=2e-4, atol=2e-4)
+    finally:
+        fa.fused_mode.cache_clear()
+
+
+def test_fused_model_axis_mesh_pins_einsum_under_forced_kernel(setup,
+                                                               monkeypatch):
+    """A forced TTL_FUSED_ATTENTION=bshd must never reach a model-axis
+    GSPMD program as a pallas_call (unpartitionable — XLA would gather);
+    _jit_fused pins the einsum route for that trace and results match."""
+    from ttl_tpu.ops import attention as fa
+    params, text_cls, adapters0, canv, hs, ws, idxs = setup
+    single = make_fused_ttl_fn(TEST_TINY, CFG)(
+        params, text_cls, adapters0, canv, hs, ws, idxs)
+
+    monkeypatch.setenv("TTL_FUSED_ATTENTION", "bshd")
+    fa.fused_mode.cache_clear()
+    try:
+        assert fa.mesh_kernel_mode(False) == ""
+        mesh = make_mesh((4, 2))
+        fn = make_fused_ttl_fn(TEST_TINY, CFG, mesh=mesh,
+                               n_classes=len(CLASSNAMES))
+        sh = fn(shard_params(params, mesh),
+                *replicate((text_cls, adapters0), mesh),
+                *shard_batch((canv, hs, ws, idxs), mesh))
+        np.testing.assert_allclose(np.asarray(sh.logits),
+                                   np.asarray(single.logits),
+                                   rtol=2e-4, atol=2e-4)
+    finally:
+        fa.fused_mode.cache_clear()

@@ -318,18 +318,46 @@ def _jit_fused(batched, n_state: int, mesh=None, extra_constraint=None):
     mesh=None: plain single-device jit. With a mesh: the trailing 4 sample
     args shard over the data axis, leading state args keep their existing
     placement (the runner pre-places params via shard_params / replicate),
-    and outputs shard over data. GSPMD inserts all collectives.
+    and outputs shard over data.
+
+    Data-only meshes where the bshd attention kernel should run
+    (ops.attention.mesh_kernel_mode: TPU backend or an explicit
+    TTL_FUSED_ATTENTION=bshd) go through jax.shard_map instead of plain
+    GSPMD: the episodic program has zero cross-sample collectives, so
+    manual data parallelism runs the measured single-chip program verbatim
+    on every device — which is what lets pallas_call (no GSPMD
+    partitioning rule) stay on the hot path. Everything else (model-axis
+    meshes, einsum routes) keeps the GSPMD jit, with the attention route
+    pinned to the einsum so a forced kernel env can never land an
+    unpartitionable pallas_call under pjit.
     """
     if mesh is None:
         return jax.jit(batched)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..parallel.mesh import DATA_AXIS
+    from ..ops import attention as fa
+    from ..parallel.mesh import DATA_AXIS, _has_model_axis
+    if not _has_model_axis(mesh) and fa.mesh_kernel_mode(True) == "bshd":
+        def body(*args):
+            with fa.force_mode("bshd"):
+                return batched(*args)
+        # check_vma off: pallas_call's out_shapes carry no varying-mesh-axes
+        # annotation, so the vma type check rejects any kernel inside a
+        # checked shard_map (the data-parallel correctness this would police
+        # is pinned by tests/test_fused.py sharded==single instead)
+        smapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(),) * (1 + n_state) + (P(DATA_AXIS),) * 4,
+            out_specs=P(DATA_AXIS), check_vma=False)
+        return jax.jit(smapped)
+
     data0 = NamedSharding(mesh, P(DATA_AXIS))
-    fn = batched
-    if extra_constraint is not None:
-        def fn(*args):
-            return batched(*extra_constraint(*args))
+
+    def fn(*args):
+        if extra_constraint is not None:
+            args = extra_constraint(*args)
+        with fa.force_mode(""):
+            return batched(*args)
     return jax.jit(fn,
                    in_shardings=(None,) * (1 + n_state) + (data0,) * 4,
                    out_shardings=data0)

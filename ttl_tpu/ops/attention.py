@@ -43,12 +43,52 @@ def _default_mode(backend: str, n_devices: int) -> str:
     towers' native [B,S,H*D] layout it pays neither the HBM transposes nor
     the score round-trip (PERF_NOTES 'bshd', round 5). CPU stays on einsum
     (interpret-mode Pallas is orders slower; tests and the driver's virtual
-    meshes live there), and multi-device stays on einsum because pallas_call
-    has no GSPMD partitioning rule — under pjit it would force gathers."""
+    meshes live there). Multi-device defaults to "" HERE because pallas_call
+    has no GSPMD partitioning rule (under plain pjit it would force
+    gathers) — but the fused mesh builders (adapt.ttl._jit_fused) route
+    data-only TPU meshes through jax.shard_map and pin the kernel back on
+    via force_mode, per mesh_kernel_mode below."""
     return "bshd" if (backend == "tpu" and n_devices == 1) else ""
 
 
 @functools.lru_cache()
+def _env_mode() -> str:
+    """The TTL_FUSED_ATTENTION env decision (cached; see fused_mode)."""
+    import os
+    v = os.environ.get("TTL_FUSED_ATTENTION", "")
+    if v in ("1", "true", "True", "per_head"):
+        return "per_head"
+    if v == "heads":
+        return "heads"
+    if v == "bshd":
+        return "bshd"
+    if v in ("0", "off", "xla", "einsum"):
+        return ""
+    return _default_mode(jax.default_backend(), jax.device_count())
+
+
+# Trace-time override stack: shard_map bodies run the per-device program of
+# a multi-device mesh, where the global-device-count default is wrong — the
+# mesh builder (adapt.ttl._jit_fused) decides the route once and pins it for
+# the body's trace via force_mode. A list-as-stack keeps nesting safe.
+_FORCED_MODE: list = []
+
+
+class force_mode:
+    """Context manager pinning fused_mode() for the enclosed trace."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        _FORCED_MODE.append(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        _FORCED_MODE.pop()
+        return False
+
+
 def fused_mode() -> str:
     """Which kernel the towers route attention through.
 
@@ -65,18 +105,41 @@ def fused_mode() -> str:
     amortizes grid overhead 12x but materializes all heads' scores
     (exceeds scoped VMEM at ViT-L; see heads_mode_fits).
     tools/attn_floor.py measures all of them. Every kernel is numerically
-    exact (f32 scores in VMEM)."""
+    exact (f32 scores in VMEM). An active force_mode (mesh builders) wins
+    over the env."""
+    if _FORCED_MODE:
+        return _FORCED_MODE[-1]
+    return _env_mode()
+
+
+# back-compat: callers/tests clear the env decision via
+# fused_mode.cache_clear() as when fused_mode itself was lru_cached
+fused_mode.cache_clear = _env_mode.cache_clear
+
+
+def mesh_kernel_mode(data_only: bool) -> str:
+    """The attention route for a jit-over-mesh program (adapt.ttl._jit_fused).
+
+    Manual data parallelism (shard_map over the data axis) makes each device
+    run the single-chip program verbatim, so on a data-only TPU mesh the
+    bshd kernel — the measured single-chip winner (+21.5% ViT-B/16, +26.2%
+    ViT-L/14 busy, PERF_NOTES r5) — stays the default; pallas_call needs
+    this because it has no GSPMD partitioning rule and would otherwise
+    force gathers under plain pjit. Model-axis meshes keep the einsum: the
+    megatron head split lives on the lane axis the kernel slices, and
+    GSPMD owns that layout. Explicit TTL_FUSED_ATTENTION=off|xla|per_head|
+    heads disables the shard_map route (the per_head/heads grids were
+    measured losers; under a mesh they degrade to einsum rather than to an
+    unpartitionable pallas_call)."""
     import os
+    if not data_only:
+        return ""
     v = os.environ.get("TTL_FUSED_ATTENTION", "")
-    if v in ("1", "true", "True", "per_head"):
-        return "per_head"
-    if v == "heads":
-        return "heads"
     if v == "bshd":
         return "bshd"
-    if v in ("0", "off", "xla", "einsum"):
-        return ""
-    return _default_mode(jax.default_backend(), jax.device_count())
+    if v in ("", "auto"):
+        return "bshd" if jax.default_backend() == "tpu" else ""
+    return ""
 
 
 def use_fused() -> bool:

@@ -55,7 +55,13 @@ def make_sharded_ttl_fn(clip_cfg: CLIPConfig, cfg: TTLConfig, mesh, *,
             # may hand in a replicated classifier (GSPMD redistributes)
             text_cls = jax.lax.with_sharding_constraint(
                 text_cls, NamedSharding(mesh, P(MODEL_AXIS, None)))
-        return batched(params, text_cls, adapters0, views, keys)
+        # einsum attention under GSPMD: pallas_call has no partitioning
+        # rule, so a forced-kernel env must not reach this pjit program
+        # (the fused runner path routes kernels via shard_map instead —
+        # adapt.ttl._jit_fused)
+        from ..ops import attention as fa
+        with fa.force_mode(""):
+            return batched(params, text_cls, adapters0, views, keys)
 
     return jax.jit(
         with_constraints,
