@@ -193,20 +193,21 @@ def test_bshd_bwd_concat_fit_predicate():
     assert not fa.bshd_bwd_concat_fits(16, 257, 64)  # ViT-L/14 vision
 
 
-@pytest.mark.parametrize("slice_writes", [False, True])
-def test_bshd_bwd_both_forms_match_reference(slice_writes):
-    """Both backward forms (all-heads concat / per-head lane-slice writes)
-    produce the same gradients as the einsum reference."""
+@pytest.mark.parametrize("group", [1, 2, 3, 4])
+def test_bshd_bwd_all_groups_match_reference(group):
+    """Every backward grouping (per-head lane-slice writes, grouped
+    concats incl. a heads-indivisible group, all-heads concat) produces
+    the same gradients as the einsum reference."""
     import functools as ft
     import math as m
 
-    b, h, s, d = 2, 2, 37, 32
+    b, h, s, d = 2, 4, 37, 32
     ks = jax.random.split(jax.random.PRNGKey(9), 4)
     q, k, v, do = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
                    for kk in ks)
     kernel = ft.partial(fa._bshd_bwd_kernel, heads=h, seq_len=s,
                         scale=1.0 / m.sqrt(d), causal=False,
-                        slice_writes=slice_writes)
+                        group=group)
     dq, dk, dv = fa._bshd_call(kernel, 3, q, k, v, extra=(do,))
 
     def split(t):

@@ -479,14 +479,17 @@ def bshd_bwd_concat_fits(heads: int, s: int, head_dim: int,
 
 def _bshd_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                      heads: int, seq_len: int, scale: float, causal: bool,
-                     slice_writes: bool):
+                     group: int):
     """Recompute-softmax backward in the native layout; same VJP algebra as
-    _attn_bwd_kernel, per head under the unrolled loop. With slice_writes
-    each head's dq/dk/dv land directly in the output refs' lane slices —
-    keeps the live set to one head where the all-heads partial buffers
-    would exceed scoped VMEM (ViT-L: 19.27 MB vs the 16 MB limit) at the
-    cost of Mosaic masked stores (measured ~2.6% busy at ViT-B, where the
-    concat form therefore stays)."""
+    _attn_bwd_kernel, per head under the unrolled loop. Heads are processed
+    in groups of `group`: each group's dq/dk/dv partials are concatenated
+    once and stored to the output refs' lane slice in one write. group ==
+    heads is the all-heads concat (fastest where it fits: single unmasked
+    store, measured +2.6% busy at ViT-B over group=1); group == 1 writes
+    each head's partials directly (the VMEM-lean form shipped for ViT-L,
+    where the all-heads f32 partial set hit 19.27 MB scoped vs the 16 MB
+    limit); intermediate groups trade live-partial VMEM against the number
+    of Mosaic lane-slice stores. See bshd_bwd_group for the selection."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -498,42 +501,39 @@ def _bshd_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     if causal:
         qpos = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
         mask = mask & (kpos <= qpos)
-    dqs, dks, dvs = [], [], []
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-        doh = do[:, sl].astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask, scores, jnp.float32(-1e9))
-        w = jax.nn.softmax(scores, axis=-1)
-        dvh = jax.lax.dot_general(
-            w.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-        dw = jax.lax.dot_general(
-            doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-        ds = jnp.where(mask, ds, 0.0) * scale
-        dqh = jax.lax.dot_general(
-            ds, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dkh = jax.lax.dot_general(
-            ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
-        if slice_writes:
-            dq_ref[0, :, sl] = dqh
-            dk_ref[0, :, sl] = dkh
-            dv_ref[0, :, sl] = dvh
-        else:
-            dqs.append(dqh)
-            dks.append(dkh)
-            dvs.append(dvh)
-    if not slice_writes:
-        dq_ref[0] = jnp.concatenate(dqs, axis=1)
-        dk_ref[0] = jnp.concatenate(dks, axis=1)
-        dv_ref[0] = jnp.concatenate(dvs, axis=1)
+    for g0 in range(0, heads, group):
+        g1 = min(g0 + group, heads)
+        dqs, dks, dvs = [], [], []
+        for h in range(g0, g1):
+            sl = slice(h * d, (h + 1) * d)
+            qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+            doh = do[:, sl].astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(mask, scores, jnp.float32(-1e9))
+            w = jax.nn.softmax(scores, axis=-1)
+            dvs.append(jax.lax.dot_general(
+                w.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype))
+            dw = jax.lax.dot_general(
+                doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+            ds = jnp.where(mask, ds, 0.0) * scale
+            dqs.append(jax.lax.dot_general(
+                ds, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dq_ref.dtype))
+            dks.append(jax.lax.dot_general(
+                ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dk_ref.dtype))
+        gsl = slice(g0 * d, g1 * d)
+        dq_ref[0, :, gsl] = (dqs[0] if len(dqs) == 1
+                             else jnp.concatenate(dqs, axis=1))
+        dk_ref[0, :, gsl] = (dks[0] if len(dks) == 1
+                             else jnp.concatenate(dks, axis=1))
+        dv_ref[0, :, gsl] = (dvs[0] if len(dvs) == 1
+                             else jnp.concatenate(dvs, axis=1))
 
 
 def _bshd_call(kernel, n_out, q, k, v, extra=(), pre_padded=False):
@@ -593,14 +593,31 @@ def _attention_bshd_fwd(q, k, v, heads, causal, seq_len):
     return attention_bshd_fused(q, k, v, heads, causal, seq_len), (q, k, v)
 
 
+def bshd_bwd_group(heads: int, s: int, head_dim: int,
+                   itemsize: int = 2) -> int:
+    """How many heads the bshd backward concatenates per output store.
+
+    heads (all-heads concat, one unmasked store per ref) where the concat
+    form fits scoped VMEM (ViT-B); otherwise 1 (per-head lane-slice
+    stores, the measured-safe ViT-L form). TTL_BSHD_BWD_GROUP overrides
+    for experiments (tools/attn_bwd_floor.py measures the sweep; clamped
+    to [1, heads])."""
+    import os
+    v = os.environ.get("TTL_BSHD_BWD_GROUP")
+    if v:
+        return max(1, min(heads, int(v)))
+    if bshd_bwd_concat_fits(heads, s, head_dim, itemsize):
+        return heads
+    return 1
+
+
 def _attention_bshd_bwd(heads, causal, seq_len, res, do):
     q, k, v = res
     d = q.shape[-1] // heads
     kernel = functools.partial(
         _bshd_bwd_kernel, heads=heads, seq_len=seq_len or q.shape[1],
         scale=1.0 / math.sqrt(d), causal=causal,
-        slice_writes=not bshd_bwd_concat_fits(heads, q.shape[1], d,
-                                              q.dtype.itemsize))
+        group=bshd_bwd_group(heads, q.shape[1], d, q.dtype.itemsize))
     return _bshd_call(kernel, 3, q, k, v, extra=(do,),
                       pre_padded=seq_len is not None)
 
