@@ -237,3 +237,64 @@ def test_fused_model_axis_mesh_pins_einsum_under_forced_kernel(setup,
                                    rtol=2e-4, atol=2e-4)
     finally:
         fa.fused_mode.cache_clear()
+
+
+@pytest.mark.slow
+def test_fused_all_families_shard_map_kernel(setup, monkeypatch):
+    """Every fused family (TPT tuple output, CoCoOp, bare-logits zero-shot,
+    text-LoRA with its causal-gated tower) runs through the shard_map
+    kernel route on a data-only mesh and matches its single-device einsum
+    run — the out_specs data-prefix must cover each family's output
+    pytree."""
+    from ttl_tpu.adapt.cocoop import init_cocoop
+    from ttl_tpu.models.zoo import TEST_TINY as TT
+    from ttl_tpu.ops import attention as fa
+    from ttl_tpu.models.prompts import prompt_tokens
+    params, text_cls, adapters0, canv, hs, ws, idxs = setup
+    toks = jnp.asarray(prompt_tokens(CLASSNAMES))
+    emb = params["text"]["token_embed"].astype(jnp.float32)
+    pl_state = init_prompt_learner(emb, CLASSNAMES)
+    co_state = init_cocoop(emb, CLASSNAMES, TT.vision.proj_dim,
+                           jax.random.PRNGKey(1))
+    txt_a0 = init_adapters(jax.random.PRNGKey(3), 2, TT.text.hidden,
+                           CFG.rank, "xavier")
+
+    with fa.force_mode(""):
+        tpt_ref, ctx_ref = make_fused_tpt_fn(
+            TT, CFG.replace(lora_encoder="prompt"))(
+            params, pl_state, canv, hs, ws, idxs)
+        co_ref = make_fused_cocoop_fn(TT, CFG.replace(cocoop=True))(
+            params, co_state, canv, hs, ws, idxs)
+        zs_ref = make_fused_zeroshot_fn(TT, CFG.replace(tta_steps=0))(
+            params, text_cls, canv, hs, ws, idxs)
+        txt_ref = make_fused_ttl_fn(
+            TT, CFG.replace(lora_encoder="text"), tokens=toks)(
+            params, text_cls, txt_a0, canv, hs, ws, idxs)
+
+    monkeypatch.setenv("TTL_FUSED_ATTENTION", "bshd")
+    fa.fused_mode.cache_clear()
+    try:
+        mesh = make_mesh((8,))
+        sb = shard_batch((canv, hs, ws, idxs), mesh)
+        tpt_sh, ctx_sh = make_fused_tpt_fn(
+            TT, CFG.replace(lora_encoder="prompt"), mesh=mesh)(
+            *replicate((params, pl_state), mesh), *sb)
+        co_sh = make_fused_cocoop_fn(TT, CFG.replace(cocoop=True),
+                                     mesh=mesh)(
+            *replicate((params, co_state), mesh), *sb)
+        zs_sh = make_fused_zeroshot_fn(TT, CFG.replace(tta_steps=0),
+                                       mesh=mesh)(
+            *replicate((params, text_cls), mesh), *sb)
+        txt_sh = make_fused_ttl_fn(
+            TT, CFG.replace(lora_encoder="text"), tokens=toks, mesh=mesh,
+            n_classes=len(CLASSNAMES))(
+            *replicate((params, text_cls, txt_a0), mesh), *sb)
+        for got, ref, name in [(tpt_sh.logits, tpt_ref.logits, "tpt"),
+                               (ctx_sh, ctx_ref, "tpt_ctx"),
+                               (co_sh.logits, co_ref.logits, "cocoop"),
+                               (zs_sh, zs_ref, "zeroshot"),
+                               (txt_sh.logits, txt_ref.logits, "text")]:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+    finally:
+        fa.fused_mode.cache_clear()
