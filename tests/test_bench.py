@@ -171,7 +171,7 @@ def test_perf_r02_busy_smoke():
     r = subprocess.run(
         [sys.executable, str(root / "tools" / "perf_r02.py"), "fused",
          "--arch", "test-tiny", "--s", "4", "--classes", "5",
-         "--windows", "1", "--iters", "2", "--busy"],
+         "--windows", "1", "--iters", "2", "--busy", "--ops", "3"],
         capture_output=True, text=True, timeout=420, env=env, cwd=root)
     assert r.returncode == 0, r.stderr[-2000:]
     (line,) = [ln for ln in r.stdout.strip().splitlines()
@@ -180,6 +180,9 @@ def test_perf_r02_busy_smoke():
     assert row["samples_per_sec"] > 0
     assert row["busy_ms_per_step"] > 0
     assert row["busy_sps"] > 0
+    # --ops bucket breakdown rides the same trace
+    assert len(row["top_ops"]) == 3
+    assert all(o["ms_per_step"] >= 0 for o in row["top_ops"])
 
 
 @pytest.mark.slow

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--busy", action="store_true",
                     help="also trace 4 steps and report device-busy "
                          "ms/step + busy samples/s (contention-free)")
+    ap.add_argument("--ops", type=int, default=0, metavar="N",
+                    help="with --busy: include the top-N device ops by "
+                         "self-time in the row (bucket breakdown)")
     args = ap.parse_args()
 
     if args.variant in ("base", "fused_f32"):
@@ -220,6 +223,14 @@ def main():
                 busy_ms = busy_us / 4 / 1000.0
                 row["busy_ms_per_step"] = round(busy_ms, 1)
                 row["busy_sps"] = round(S / (busy_ms / 1000.0), 2)
+            if args.ops:
+                from ttl_tpu.utils.profiling import op_stats
+                row["top_ops"] = [
+                    {"op": o["operation"], "type": o["type"],
+                     "ms_per_step": round(o["self_time_us"] / 4 / 1000.0, 2),
+                     "fraction": round(o["fraction"], 4),
+                     "bound_by": o["bound_by"], "n": o["occurrences"]}
+                    for o in op_stats(td, top=args.ops)]
         except Exception as e:
             print(f"perf_r02: busy trace failed ({type(e).__name__}: {e}); "
                   f"emitting wall-only row", file=sys.stderr)
