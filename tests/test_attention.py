@@ -181,6 +181,34 @@ def test_fused_mode_env_dispatch(monkeypatch):
     monkeypatch.delenv("TTL_FUSED_ATTENTION")
 
 
+def test_mesh_kernel_mode_dispatch(monkeypatch):
+    """The mesh-route chooser (adapt.ttl._jit_fused's decision): explicit
+    bshd routes the shard_map kernel on any backend; the per_head/heads
+    grids and explicit off degrade to the GSPMD einsum (never an
+    unpartitionable pallas_call under pjit); model-axis meshes always
+    einsum; the auto default is backend-gated (einsum on the CPU test
+    backend)."""
+    for env, want in [("bshd", "bshd"), ("per_head", ""), ("heads", ""),
+                      ("off", ""), ("xla", ""), ("", ""), ("auto", "")]:
+        monkeypatch.setenv("TTL_FUSED_ATTENTION", env)
+        assert fa.mesh_kernel_mode(True) == want, env
+        assert fa.mesh_kernel_mode(False) == "", env
+    monkeypatch.delenv("TTL_FUSED_ATTENTION")
+
+
+def test_force_mode_stack():
+    """force_mode pins fused_mode for the enclosed trace and restores on
+    exit, nesting included (shard_map body inside a GSPMD-pinned build)."""
+    fa.fused_mode.cache_clear()
+    base = fa.fused_mode()
+    with fa.force_mode("bshd"):
+        assert fa.fused_mode() == "bshd"
+        with fa.force_mode(""):
+            assert fa.fused_mode() == ""
+        assert fa.fused_mode() == "bshd"
+    assert fa.fused_mode() == base
+
+
 def test_bshd_bwd_concat_fit_predicate():
     """The backward-form chooser classifies the shipped arches: ViT-B
     vision and all text towers take the faster all-heads-concat backward;
