@@ -338,6 +338,10 @@ def _jit_fused(batched, n_state: int, mesh=None, extra_constraint=None):
     from ..ops import attention as fa
     from ..parallel.mesh import DATA_AXIS, _has_model_axis
     if not _has_model_axis(mesh) and fa.mesh_kernel_mode(True) == "bshd":
+        # constraints are only ever built for model-axis meshes (the text
+        # classifier's class shard); this branch would silently drop one
+        assert extra_constraint is None, "shard_map route takes no constraint"
+
         def body(*args):
             with fa.force_mode("bshd"):
                 return batched(*args)

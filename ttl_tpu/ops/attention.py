@@ -71,6 +71,8 @@ def _env_mode() -> str:
 # a multi-device mesh, where the global-device-count default is wrong — the
 # mesh builder (adapt.ttl._jit_fused) decides the route once and pins it for
 # the body's trace via force_mode. A list-as-stack keeps nesting safe.
+# Module-global (not a contextvar): every trace in this codebase happens on
+# the thread that builds the program (runner/serve build once at startup).
 _FORCED_MODE: list = []
 
 
