@@ -37,11 +37,48 @@ def honor_platform_env() -> None:
             pass
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags.
+
+    XLA:CPU's persistent cache stores AOT *machine code*; loading an entry
+    compiled on a host with a different feature set logs
+    "could lead to execution errors such as SIGILL" and can crash on a
+    less-capable host. Sessions here migrate between hosts with slightly
+    different CPU features, so CPU cache directories are keyed by this
+    fingerprint: a migrated host recompiles into a fresh directory instead
+    of executing foreign machine code."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nofp"
+
+
+def _cache_dir_for(path: str, platforms: str | None,
+                   fingerprint: str) -> str:
+    """CPU platform -> host-fingerprinted subdir; device platforms keep
+    `path` as-is (device code doesn't depend on host CPU features, and a
+    host migration must not cold the TPU cache)."""
+    first = (platforms or "").split(",")[0].strip().lower()
+    if first == "cpu":
+        return f"{path}-cpu-{fingerprint}"
+    return path
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
     path = path or os.environ.get("TTL_JAX_CACHE_DIR",
                                   os.path.expanduser("~/.cache/jax_ttl"))
+    platforms = getattr(jax.config, "jax_platforms", None) \
+        or os.environ.get("JAX_PLATFORMS")
+    path = _cache_dir_for(path, platforms, _host_cpu_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
