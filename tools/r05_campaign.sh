@@ -5,16 +5,16 @@
 # repo-root artifacts (BENCH_ARCHES.json, VITL_CEILING*.json,
 # ATTN_BWD_FLOOR results).
 #
-#   ./tools/r05_campaign.sh            # everything
-#   ./tools/r05_campaign.sh bench      # one stage
+#   ./tools/r05_campaign.sh                 # everything
+#   ./tools/r05_campaign.sh bench quant_vitl  # a subset, in script order
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r05
-STAGE=${1:-all}
+STAGES=${*:-all}
 
 run() { # name timeout cmd...
   local name=$1 t=$2; shift 2
-  if [[ "$STAGE" != all && "$STAGE" != "$name" ]]; then return 0; fi
+  if [[ "$STAGES" != all && " $STAGES " != *" $name "* ]]; then return 0; fi
   echo "=== $name (timeout ${t}s) ==="
   timeout "$t" "$@" 2>/tmp/r05/$name.err | tee /tmp/r05/$name.out
   echo "=== $name rc=$? ==="

@@ -1,7 +1,8 @@
 #!/usr/bin/env bash
-# Watch the relay and auto-fire the round-4 measurement campaign on the
+# Watch the relay and auto-fire the current measurement campaign on the
 # first healthy probe. Bounded: gives up after MAX_S seconds (default 10h).
-# Log: /tmp/relay_watch.log   Campaign outputs: /tmp/r04/ + repo artifacts.
+# Log: /tmp/relay_watch.log   Campaign outputs: /tmp/r05/ + repo artifacts.
+# Override the campaign with RELAY_WATCH_CAMPAIGN=./tools/r04_campaign.sh.
 set -u
 cd "$(dirname "$0")/.."
 MAX_S=${RELAY_WATCH_MAX_S:-36000}
@@ -18,7 +19,7 @@ while :; do
   echo "[relay_watch] probe attempt ${attempt} at $(date -u +%H:%M:%S)"
   if timeout 120 python tools/relay_probe.py --timeout 90 >/tmp/relay_probe_last.log 2>&1; then
     echo "[relay_watch] relay HEALTHY at $(date -u +%H:%M:%S) - firing campaign"
-    ./tools/r04_campaign.sh "${1:-all}"
+    "${RELAY_WATCH_CAMPAIGN:-./tools/r05_campaign.sh}" "${@:-all}"
     rc=$?
     echo "[relay_watch] campaign rc=$rc"
     exit $rc
