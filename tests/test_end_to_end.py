@@ -149,6 +149,46 @@ def test_array_loader_batching():
     np.testing.assert_array_equal(batches[0].indices, batches2[0].indices)
 
 
+def test_bucket_canvas_selects_smallest_fitting_ladder():
+    """bucket_canvas=True shrinks each assembled batch to the smallest
+    ladder canvas (canvas/4, canvas/2, canvas) that fits every image;
+    pad rows (h=w=1) never inflate the bucket."""
+    rng = np.random.RandomState(0)
+    small = [(rng.rand(100, 90, 3) * 255).astype(np.uint8)] * 3
+    big = [(rng.rand(300, 480, 3) * 255).astype(np.uint8)] * 3
+    ds = ArraySizedDataset(small + big, np.zeros(6, np.int64))
+    loader = SampleLoader(ds, batch_size=3, shuffle=False, canvas=512,
+                          bucket_canvas=True)
+    assert loader.bucket_ladder == [128, 256, 512]
+    b_small, b_big = list(loader)
+    assert b_small.canvases.shape == (3, 128, 128, 3)
+    assert b_big.canvases.shape == (3, 512, 512, 3)
+    # the [h, w] regions are untouched by the shrink
+    np.testing.assert_array_equal(b_small.canvases[0, :100, :90], small[0])
+    # short final batch: pad rows must not force a larger bucket
+    loader2 = SampleLoader(ds, batch_size=4, shuffle=False, canvas=512,
+                           bucket_canvas=True)
+    last = list(loader2)[-1]
+    assert last.pad == 2 and last.canvases.shape == (4, 512, 512, 3)
+    # incompatible with multi-host input shards by contract
+    with pytest.raises(AssertionError):
+        SampleLoader(ds, batch_size=2, canvas=512, bucket_canvas=True,
+                     shard=(0, 2))
+
+
+def test_bucket_canvas_does_not_change_results(monkeypatch):
+    """TTL_CANVAS_BUCKETS (default on for auto-canvas runs) only shrinks
+    the shipped canvas to a per-batch ladder size; the device pipeline
+    reads the [h, w] image region only, so results are bit-identical."""
+    ds = make_synthetic_dataset()
+    ds.max_image_dim = 0  # path-dataset behavior: the 512 default canvas
+    monkeypatch.setenv("TTL_CANVAS_BUCKETS", "1")
+    on = run(CFG.replace(canvas=0), datasets={"eurosat": ds})
+    monkeypatch.setenv("TTL_CANVAS_BUCKETS", "0")
+    off = run(CFG.replace(canvas=0), datasets={"eurosat": ds})
+    assert on["eurosat"] == off["eurosat"]
+
+
 def test_cli_parses_reference_invocation():
     """The reference launch command must parse unchanged
     (scripts/test_ttl.sh surface)."""

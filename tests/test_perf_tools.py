@@ -59,3 +59,22 @@ def test_upload_ab_cpu_contract(tmp_path):
     arms = [json.loads(ln) for ln in r.stdout.splitlines()
             if ln.startswith("{") and '"arm"' in ln]
     assert {a["arm"] for a in arms} == {"on", "off"}
+
+
+@pytest.mark.slow
+def test_bucket_ab_cpu_contract(tmp_path):
+    """Canvas-bucket A/B: both arms through evaluate_dataset, one summary
+    JSON with both rates (bit-identical accuracy is pinned separately by
+    tests/test_end_to_end.py::test_bucket_canvas_does_not_change_results)."""
+    out_path = tmp_path / "ab.json"
+    env = dict(os.environ, TTL_BENCH_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "bucket_ab.py"),
+         "--arch", "test-tiny", "--n", "8", "--s", "4",
+         "--repeats", "1", "--out", str(out_path)],
+        capture_output=True, text=True, timeout=540, env=env, cwd=ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(out_path.read_text())
+    assert out["buckets_on_sps"] > 0 and out["buckets_off_sps"] > 0
+    assert out["speedup"] == pytest.approx(
+        out["buckets_on_sps"] / out["buckets_off_sps"], rel=0.01)

@@ -33,5 +33,6 @@ run attn_bwd    1200 python tools/attn_bwd_floor.py
 run mesh1        900 python tools/drive_mesh1_kernel.py
 run coldstart   1300 python tools/serve_coldstart.py --runs 2
 run attn_ab     1800 python tools/attn_ab.py
+run bucket_ab   1200 python tools/bucket_ab.py --out BUCKET_AB.json
 run quant_vitl  1800 python tools/quant_fidelity.py --arch ViT-L/14 \
                      --samples 256 --classes 200 --sample_batch 4

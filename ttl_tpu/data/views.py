@@ -10,6 +10,16 @@ decode overlaps TPU compute.
 Canvas protocol: images larger than the canvas are downscaled (never
 upscaled) to fit, preserving aspect; (h, w) carry the true extents so the
 device pipeline crops in original-geometry coordinates.
+
+Bucketed canvases (bucket_canvas=True): each assembled batch is shrunk to
+the smallest power-of-two ladder size (canvas/4, canvas/2, canvas) that
+still fits every image in the batch. Results are bit-identical - the device
+pipeline reads only the [h, w] image region, and no image is downscaled
+that would not have been at the full canvas - while the host->device upload
+drops quadratically for small-image batches (upload-bound programs:
+ViT-B/32, COMPONENTS.md). At most 3 distinct canvas shapes reach jit, so
+the one-time compile count is bounded. Off by default; the runner enables
+it for single-process auto-canvas runs (TTL_CANVAS_BUCKETS=0 opts out).
 """
 from __future__ import annotations
 
@@ -80,7 +90,7 @@ class SampleLoader:
                  max_samples: Optional[int] = None, prefetch: int = 4,
                  shard: Optional[Tuple[int, int]] = None,
                  workers: int = 4, total_batches: Optional[int] = None,
-                 transform=None):
+                 transform=None, bucket_canvas: bool = False):
         self.dataset = dataset
         # applied to each SampleBatch INSIDE the prefetch thread before it
         # is queued - the runner uses this to jax.device_put batches so the
@@ -90,6 +100,16 @@ class SampleLoader:
         self.transform = transform
         self.batch_size = batch_size
         self.canvas = canvas
+        # ascending ladder of batch canvas sizes, ending at the full canvas.
+        # MUST NOT be used with multi-host input sharding: the sharded step
+        # is a collective program, and hosts picking different buckets for
+        # the same step would run different programs.
+        self.bucket_ladder = None
+        if bucket_canvas and canvas >= 128:
+            assert shard is None, \
+                "bucket_canvas is incompatible with multi-host input shards"
+            self.bucket_ladder = sorted({max(64, canvas // 4),
+                                         max(64, canvas // 2), canvas})
         order = np.arange(len(dataset))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -162,6 +182,17 @@ class SampleLoader:
                 hs[k], ws[k] = place_on_canvas(canv[k], item)
             labels[k] = label
             indices[k] = i
+        if self.bucket_ladder is not None:
+            # shrink to the smallest ladder size that fits every image:
+            # bit-identical results (the device reads only [h, w] regions),
+            # quadratically less host->device transfer. Pad rows carry
+            # h = w = 1 so they never inflate the bucket.
+            m = max(int(hs.max()), int(ws.max()))
+            for c in self.bucket_ladder:
+                if c >= m:
+                    if c < self.canvas:
+                        canv = np.ascontiguousarray(canv[:, :c, :c])
+                    break
         return SampleBatch(canv, hs, ws, labels, indices,
                            pad=b - len(idxs))
 

@@ -163,9 +163,16 @@ def evaluate_dataset(set_id: str, cfg: TTLConfig, clip_cfg, params,
     # keep the pjit input path. TTL_UPLOAD_OVERLAP=0 opts out (A/B knob).
     overlap = (n_proc == 1 and mesh is None
                and os.environ.get("TTL_UPLOAD_OVERLAP", "1") != "0")
+    # auto-canvas runs additionally shrink each batch to the smallest
+    # power-of-two ladder canvas that fits it (data/views.py docstring):
+    # bit-identical results, quadratically less upload for small-image
+    # batches, at most 3 one-time compiles. Explicit --canvas runs keep the
+    # user's exact shape; mesh/multi-host keep one static program.
+    buckets = (n_proc == 1 and mesh is None and cfg.canvas == 0
+               and os.environ.get("TTL_CANVAS_BUCKETS", "1") != "0")
     loader = SampleLoader(
         dataset, batch_size=local_bs, shuffle=True, seed=cfg.seed,
-        canvas=canvas,
+        canvas=canvas, bucket_canvas=buckets,
         max_samples=max_samples, workers=cfg.workers,
         shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
         total_batches=((n_total + cfg.sample_batch - 1) // cfg.sample_batch
